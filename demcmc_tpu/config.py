@@ -1,0 +1,154 @@
+"""DE sampler configuration.
+
+Frozen config mirroring every knob of the reference ``DE`` struct
+(``/root/reference/src/structs.jl:57-131``) with the same names and
+defaults (unicode spelled out: α→alpha, β→beta, ϵ→epsilon, σ→sigma,
+κ→kappa, θsnooker→theta_snooker).  Mutable run state (iteration counter,
+RNG key, history) lives in the scan carry (:class:`SamplerState`), not in
+the config — the config hashes as a static jit argument.
+
+Strategy slots (function-valued, swappable like the reference's
+``generate_proposal`` / ``update_particle!`` / ``evaluate_fitness!`` /
+``sample`` / ``blocking_on``, ``src/structs.jl:71-76``):
+
+* ``generate_proposal``: batched proposal builder; built-ins
+  :func:`demcmc_tpu.random_gamma` (default), ``fixed_gamma``,
+  ``variable_gamma``; custom callables welcome (see ops/proposals.py for
+  the ``ProposalContext`` signature).
+* ``update_particle``: ``mh_update`` (default), ``maximize``, ``minimize``.
+* ``evaluate_fitness``: ``compute_posterior`` (default) or ``evaluate_fun``.
+* ``sample``: partner source — ``demcmc_tpu.sample_current`` (default:
+  current particles) or ``demcmc_tpu.resample`` (DE-MCz: draw from the
+  history of past states, ter Braak & Vrugt 2008).
+* ``blocking_on``: callable of the sampler view returning True/False per
+  iteration; ``blocks`` is a list of boolean masks matching the parameter
+  structure.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field, replace
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _default_blocking_on(de) -> bool:
+    return False
+
+
+@dataclass(frozen=True)
+class DE:
+    """Differential Evolution MCMC sampler configuration.
+
+    Keyword parity with the reference constructor (``src/structs.jl:80-131``):
+    ``n_groups=4, Np, burnin=1000, discard_burnin=True, alpha=.1, beta=.1,
+    epsilon=.001, sigma=.05, kappa=1.0, theta_snooker=0.0, bounds,
+    n_initial=0`` plus the five strategy slots.
+    """
+
+    Np: int = None
+    n_groups: int = 4
+    burnin: int = 1000
+    discard_burnin: bool = True
+    alpha: float = 0.1          # migration probability (α)
+    beta: float = 0.1           # mutation probability (β)
+    epsilon: float = 0.001      # crossover noise half-width (ϵ)
+    sigma: float = 0.05         # mutation noise sd (σ)
+    kappa: float = 1.0          # recombination keep-probability (κ)
+    theta_snooker: float = 0.0  # snooker probability (θsnooker)
+    bounds: Any = None
+    n_initial: int = 0
+    generate_proposal: Callable = None   # default set in __post_init__
+    update_particle: Any = None          # 'mh' | 'maximize' | 'minimize' | callable
+    evaluate_fitness: Any = None         # 'posterior' | 'fun' | callable
+    sample: Any = None                   # 'sample' | 'resample' | callable
+    blocking_on: Callable = _default_blocking_on
+    blocks: Any = None
+    dtype: Any = np.float32
+    # sample_prior accepted for ctor parity with the reference (which needs
+    # it to allocate the history eltype); unused here — the model carries it.
+    sample_prior: Callable = None
+
+    def __post_init__(self):
+        from .ops import proposals, accept  # local import, avoids cycle
+
+        if self.Np is None:
+            raise ValueError("Np (particles per group) is required")
+        if self.n_groups == 1 and self.alpha > 0:
+            warnings.warn("migration probability alpha > 0 but n_groups == 1."
+                          " Changing alpha = 0.0")
+            object.__setattr__(self, "alpha", 0.0)
+        if self.generate_proposal is None:
+            object.__setattr__(self, "generate_proposal", proposals.random_gamma)
+        if self.update_particle is None:
+            object.__setattr__(self, "update_particle", accept.mh_update)
+        if self.evaluate_fitness is None:
+            object.__setattr__(self, "evaluate_fitness", accept.compute_posterior)
+        if self.sample is None:
+            object.__setattr__(self, "sample", proposals.sample_current)
+        if self.uses_resample and self.Np < 3:
+            raise ValueError("Np must be >= 3 when sample=resample")
+        if self.blocks is not None:
+            object.__setattr__(self, "blocks", tuple(
+                tuple(np.asarray(b, dtype=object) for b in blk)
+                if isinstance(blk, (list, tuple)) else blk
+                for blk in self.blocks))
+
+    # -- derived ----------------------------------------------------------
+    @property
+    def n_chains(self) -> int:
+        return self.n_groups * self.Np
+
+    @property
+    def uses_resample(self) -> bool:
+        from .ops import proposals
+        return self.sample in ("resample", proposals.resample)
+
+    @property
+    def uses_snooker(self) -> bool:
+        return self.theta_snooker > 0.0
+
+    @property
+    def is_mh(self) -> bool:
+        from .ops import accept
+        return self.update_particle in ("mh", accept.mh_update)
+
+    @property
+    def is_maximize(self) -> bool:
+        from .ops import accept
+        return self.update_particle in ("maximize", accept.maximize)
+
+    @property
+    def is_minimize(self) -> bool:
+        from .ops import accept
+        return self.update_particle in ("minimize", accept.minimize)
+
+    def replace(self, **kw) -> "DE":
+        return replace(self, **kw)
+
+    def __hash__(self):
+        # Static-arg hash for jit caching; blocks converted to nested tuples.
+        def freeze(x):
+            if isinstance(x, np.ndarray):
+                return ("nd", x.shape, tuple(x.reshape(-1).tolist()))
+            if isinstance(x, (list, tuple)):
+                return tuple(freeze(e) for e in x)
+            return x
+        return hash((self.Np, self.n_groups, self.burnin, self.discard_burnin,
+                     self.alpha, self.beta, self.epsilon, self.sigma,
+                     self.kappa, self.theta_snooker, freeze(self.bounds),
+                     self.n_initial, self.generate_proposal,
+                     self.update_particle, self.evaluate_fitness, self.sample,
+                     self.blocking_on, freeze(self.blocks), str(self.dtype)))
+
+
+class MCMCThreads:
+    """API-compat marker (reference: AbstractMCMC's ``MCMCThreads()``).
+
+    The reference maps groups to CPU threads (``src/main.jl:62-71``); here
+    every group is always part of one fused tensor program, and passing
+    ``MCMCThreads()`` is simply accepted and ignored — device-level
+    parallelism is configured with ``mesh=`` instead.
+    """

@@ -1,0 +1,82 @@
+"""Gaussian (μ, σ) model — the reference's flagship example.
+
+Reference: ``/root/reference/Examples/Gaussian_Example.jl`` and
+``test/gaussian_tests.jl``: priors μ ~ Normal(0,1),
+σ ~ truncated(Cauchy(0,1), 0, Inf); likelihood Normal(μ, σ) over the data;
+bounds ((-Inf, Inf), (0, Inf)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DE
+from ..model import DEModel
+from ..utils import dists
+
+BOUNDS = ((-jnp.inf, jnp.inf), (0.0, jnp.inf))
+NAMES = ("mu", "sigma")
+
+
+def prior_loglike(mu, sigma):
+    return (dists.normal_logpdf(mu, 0.0, 1.0)
+            + dists.halfcauchy_logpdf(sigma, 1.0))
+
+
+def sample_prior(key):
+    k1, k2 = jax.random.split(key)
+    mu = jax.random.normal(k1)
+    sigma = dists.sample_halfcauchy(k2)
+    return [mu, sigma]
+
+
+def loglike(data, mu, sigma):
+    return jnp.sum(dists.normal_logpdf(data, mu, sigma))
+
+
+def make_model(data) -> DEModel:
+    return DEModel(loglike=loglike, prior_loglike=prior_loglike,
+                   sample_prior=sample_prior, names=NAMES, data=data)
+
+
+def make(data=None, key=0, n_obs=50, true_mu=0.0, true_sigma=1.0,
+         Np=6, n_groups=4, burnin=1000, **de_kwargs):
+    """Build (model, de) matching the reference example configuration."""
+    if data is None:
+        data = true_mu + true_sigma * jax.random.normal(
+            jax.random.PRNGKey(key), (n_obs,))
+    model = make_model(data)
+    de = DE(bounds=BOUNDS, burnin=burnin, Np=Np, n_groups=n_groups,
+            **de_kwargs)
+    return model, de
+
+
+def posterior_grid(data, n_mu=301, n_sigma=301, mu_rng=None, sigma_rng=None):
+    """Ground-truth posterior moments by 2-D quadrature — the oracle for
+    statistical tests (plays the role of the reference's Turing NUTS
+    comparison, ``test/gaussian_tests.jl:46-55``)."""
+    import numpy as np
+    data = np.asarray(data, dtype=np.float64)
+    m, s = data.mean(), data.std()
+    if mu_rng is None:
+        mu_rng = (m - 6 * s / np.sqrt(len(data)), m + 6 * s / np.sqrt(len(data)))
+    if sigma_rng is None:
+        sigma_rng = (max(1e-3, s * 0.4), s * 2.5)
+    mu = np.linspace(*mu_rng, n_mu)
+    sg = np.linspace(*sigma_rng, n_sigma)
+    MU, SG = np.meshgrid(mu, sg, indexing="ij")
+    logp = (-0.5 * MU ** 2 - 0.5 * np.log(2 * np.pi)            # N(0,1) prior
+            + np.log(2 / np.pi) - np.log1p(SG ** 2)             # half-Cauchy
+            - len(data) * np.log(SG)
+            - len(data) / 2 * np.log(2 * np.pi)
+            - ((data[None, None, :] - MU[..., None]) ** 2).sum(-1)
+            / (2 * SG ** 2))
+    w = np.exp(logp - logp.max())
+    w /= w.sum()
+    stats = {}
+    for name, v in (("mu", MU), ("sigma", SG)):
+        mean = (w * v).sum()
+        stats[name] = {"mean": mean,
+                       "std": np.sqrt((w * (v - mean) ** 2).sum())}
+    return stats

@@ -1,0 +1,78 @@
+"""DE optimization driver.
+
+Reference: ``/root/reference/src/optimize.jl`` + ``get_optimal``
+(``src/utilities.jl:250-266``).  Same step loop as sampling but configured
+with greedy acceptance (``maximize``/``minimize``) and objective-only
+fitness (``evaluate_fun``); returns the final population instead of chains.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+
+from .config import DE, MCMCThreads
+from .model import DEModel
+from .ops import accept as accept_ops
+from .sampler import (SamplerState, _grow_history, _shard_state, build_step,
+                      init_state, make_spec, run_scan)
+
+
+class Population(NamedTuple):
+    """Final particle population: the reference's ``vcat(groups...)``."""
+    theta: np.ndarray    # [C, d] flat parameters
+    weight: np.ndarray   # [C] objective values
+    spec: object
+
+
+def optimize(model: DEModel, de: DE, *args, key=0, progress: bool = False,
+             mesh=None, **kwargs) -> Population:
+    """Find the optimum of ``model.loglike`` (reference ``optimize``,
+    ``src/optimize.jl:17-38``).  Configure the DE with
+    ``evaluate_fitness='fun'`` and ``update_particle='maximize'`` (or
+    ``'minimize'``), as in the reference.
+
+    Accepts the ``MCMCThreads()`` positional for API parity (ignored — the
+    population is always one fused tensor program).
+
+    Iteration counting: the reference starts ``de.iter`` at 1 without the
+    ``n_initial`` offset (``src/optimize.jl:32``) which breaks
+    ``resample``-mode history indexing (SURVEY.md §3.3 caveat); here
+    ``resample`` runs get the offset so optimization over history works.
+    """
+    args = [a for a in args if not isinstance(a, MCMCThreads)]
+    if len(args) != 1:
+        raise TypeError("expected optimize(model, de, n_iter)")
+    n_iter = int(args[0])
+
+    if de.is_mh:
+        raise ValueError(
+            "optimize requires update_particle='maximize' or 'minimize' "
+            "(and evaluate_fitness='fun'), like the reference")
+
+    spec = make_spec(model, de)
+    start = None if de.uses_resample else 1   # reference: de.iter = iter
+    state = init_state(model, de, spec, key, start_iteration=start)
+    state = _grow_history(state, n_iter)
+    state = _shard_state(state, mesh)
+
+    step = build_step(model, de, spec)
+    state, _ = run_scan(step, state, n_iter, progress=progress)
+
+    C, d = de.n_chains, spec.dim
+    return Population(theta=np.asarray(state.theta).reshape(C, d),
+                      weight=np.asarray(state.weight).reshape(C),
+                      spec=spec)
+
+
+def get_optimal(de: DE, model: DEModel, particles: Population):
+    """Best particle by weight (reference ``get_optimal``,
+    ``src/utilities.jl:260-266``): returns ``(dict θ, best_value)`` with
+    direction taken from the ``update_particle`` slot."""
+    w = particles.weight
+    idx = int(np.argmax(w) if de.is_maximize else np.argmin(w))
+    params = particles.spec.unflatten(particles.theta[idx])
+    theta = {n: np.asarray(p) for n, p in zip(particles.spec.names, params)}
+    return theta, float(w[idx])

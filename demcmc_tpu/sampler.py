@@ -1,0 +1,369 @@
+"""Scan-based sampling driver.
+
+Reference: ``/root/reference/src/main.jl`` (``sample``/``_sample``/``step!``/
+``update!``/``block_update!``/``mutate_or_crossover!``/``sample_init``).
+
+TPU-first architecture: the reference's Python/Julia-level triple loop
+(iteration × group × particle, ``src/main.jl:33-38`` +
+``src/crossover.jl:12-17``) becomes ONE jitted step over the whole
+population tensor ``[G, Np, d]`` wrapped in ``lax.scan`` over iterations.
+Groups shard over a ``chains`` mesh axis (``mesh=`` argument): crossover and
+mutation are group-local, migration's cross-group shuffle and
+``resample``-mode history gathers compile to XLA collectives under GSPMD.
+The reference's ``MCMCThreads`` thread-per-group backend
+(``src/main.jl:135-148``) has no analogue — device sharding replaces it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rng
+from .chains import Chains
+from .config import DE, MCMCThreads
+from .model import DEModel, ParamSpec
+from .ops import accept as accept_ops
+from .ops import migration as migration_ops
+from .ops import mutation as mutation_ops
+from .ops import proposals as proposal_ops
+
+
+class SamplerState(NamedTuple):
+    """The scan carry — the entire resumable state of a run.
+
+    The reference's equivalent is the mutable ``DE`` fields + particle
+    objects + ``de.samples`` history (``src/structs.jl``); here it is a
+    plain pytree: trivially checkpointable and shardable.
+    """
+
+    theta: jax.Array          # [G, Np, d]
+    weight: jax.Array         # [G, Np]
+    key: jax.Array            # base PRNG key (counter-based derivation)
+    iteration: jax.Array      # scalar int32, 1-based, reference `de.iter`
+    history: Optional[jax.Array]  # [H, C, d] past states, or None
+
+
+class StepOutput(NamedTuple):
+    theta: jax.Array          # [C, d] post-step population
+    accept: jax.Array         # [C] bool
+    lp: jax.Array             # [C] current weight after update
+
+
+class _DEView:
+    """What ``blocking_on`` sees: config knobs plus the (traced) iteration
+    counter — mirroring the reference's practice of passing the DE object
+    (``de.blocking_on(de)``, ``src/main.jl:162``)."""
+
+    def __init__(self, de: DE, iteration):
+        self._de = de
+        self.iter = iteration
+
+    def __getattr__(self, name):
+        return getattr(self._de, name)
+
+
+def flatten_block(spec: ParamSpec, block) -> np.ndarray:
+    """Flatten one block mask (nested per-parameter bools/arrays, reference
+    ``blocks`` kwarg, ``src/structs.jl:48``) to a flat [d] bool mask."""
+    if isinstance(block, np.ndarray) and block.dtype != object:
+        block = list(block)
+    parts = []
+    for elem, shape, size in zip(block, spec.shapes, spec.sizes):
+        a = np.asarray(elem, dtype=bool)
+        if a.shape == ():
+            parts.append(np.full(size, bool(a)))
+        else:
+            if int(np.prod(a.shape)) != size:
+                raise ValueError(
+                    f"block element shape {a.shape} does not match "
+                    f"parameter shape {shape}")
+            parts.append(a.reshape(-1))
+    return np.concatenate(parts)
+
+
+def build_step(model: DEModel, de: DE, spec: ParamSpec):
+    """Build the fused one-iteration step function (pure, jittable)."""
+    G, Np, d = de.n_groups, de.Np, spec.dim
+    fitness = accept_ops.make_fitness(model, spec, de)
+    update_fn = accept_ops.make_update(de)
+    int_mask = jnp.asarray(spec.int_mask) if spec.has_int else None
+    block_masks = None
+    if de.blocks is not None:
+        block_masks = [jnp.asarray(flatten_block(spec, b)) for b in de.blocks]
+
+    def do_update(theta, weight, iteration, history, key, block_mask):
+        """One mutate-or-crossover sweep over all groups (reference
+        ``mutate_or_crossover!``, ``src/main.jl:199-207``)."""
+        ctx = proposal_ops.ProposalContext(
+            de=de, spec=spec, theta=theta, weight=weight,
+            iteration=iteration, history=history)
+
+        # --- crossover branch -------------------------------------------
+        k_prop = jax.random.fold_in(key, rng.CUSTOM)
+        cross = de.generate_proposal(ctx, k_prop)
+        log_adj = jnp.zeros((G, Np), theta.dtype)
+        if de.uses_snooker:
+            k_gate = jax.random.fold_in(key, rng.SNOOKER_GATE)
+            sn_gate = (jax.random.uniform(k_gate, (G, Np))
+                       <= de.theta_snooker)
+            k_sn = jax.random.fold_in(key, rng.SNOOKER_PARTNERS + 77)
+            sn_prop, z, degen = proposal_ops.snooker(ctx, k_sn)
+            cross = jnp.where(sn_gate[..., None], sn_prop, cross)
+        if block_mask is not None:
+            # reset! semantics: non-block params revert to current values
+            # (src/crossover.jl:336-352), applied before the snooker MH
+            # correction like the reference (src/crossover.jl:84-87).
+            cross = jnp.where(block_mask, cross, theta)
+        if de.uses_snooker:
+            adj = proposal_ops.snooker_log_adj(theta, cross, z, d, degen)
+            log_adj = jnp.where(sn_gate, adj, 0.0)
+
+        # --- mutation branch (per-group Bernoulli(β); mutation ignores
+        # block masks, matching src/main.jl:199-207) ----------------------
+        if de.beta > 0.0:
+            k_mg = jax.random.fold_in(key, rng.MUTATE_GATE)
+            mut_mask = jax.random.uniform(k_mg, (G,)) <= de.beta
+            mut_prop = mutation_ops.mutate(key, theta, de.sigma)
+            prop = jnp.where(mut_mask[:, None, None], mut_prop, cross)
+            log_adj = jnp.where(mut_mask[:, None], 0.0, log_adj)
+        else:
+            prop = cross
+
+        if int_mask is not None:
+            prop = jnp.where(int_mask, jnp.round(prop), prop)
+
+        # --- fitness + accept (THE hot kernel: user logpost vmapped over
+        # the population; everything above fuses into it) -----------------
+        w_prop = fitness(prop)
+        k_acc = jax.random.fold_in(key, rng.ACCEPT)
+        acc = update_fn(k_acc, weight, w_prop, log_adj)
+        theta, weight = accept_ops.apply_accept(theta, weight, prop,
+                                                w_prop, acc)
+        return theta, weight, acc
+
+    def step(state: SamplerState, _=None):
+        it = state.iteration
+        kit = jax.random.fold_in(state.key, it)
+
+        # 1. migration with probability α (src/main.jl:85)
+        theta, weight = migration_ops.maybe_migrate(
+            kit, state.theta, state.weight, de.alpha, G)
+
+        # 2. block_update! or mutate_or_crossover! (src/main.jl:161-207)
+        def plain(theta, weight):
+            return do_update(theta, weight, it, state.history, kit, None)
+
+        def blocked(theta, weight):
+            for bi, bmask in enumerate(block_masks):
+                kb = jax.random.fold_in(kit, rng.BLOCK * 1000 + bi)
+                theta, weight, acc = do_update(theta, weight, it,
+                                               state.history, kb, bmask)
+            # accept/lp from the last block — the reference's mh_update!
+            # overwrites accept[iter]/lp[iter] once per block
+            # (src/utilities.jl:201-210), so the final block wins there too.
+            return theta, weight, acc
+
+        if block_masks is None:
+            theta, weight, acc = plain(theta, weight)
+        else:
+            flag = de.blocking_on(_DEView(de, it))
+            if isinstance(flag, (bool, np.bool_)):
+                theta, weight, acc = (blocked if flag else plain)(theta, weight)
+            else:
+                theta, weight, acc = jax.lax.cond(flag, blocked, plain,
+                                                  theta, weight)
+
+        # 3. store_samples! (src/utilities.jl:161-180): only the resample
+        # strategy reads history; trajectory output rides the scan ys.
+        history = state.history
+        if history is not None:
+            flat = theta.reshape(1, G * Np, d)
+            history = jax.lax.dynamic_update_slice(
+                history, flat.astype(history.dtype), (it - 1, 0, 0))
+
+        new_state = SamplerState(theta=theta, weight=weight, key=state.key,
+                                 iteration=it + 1, history=history)
+        out = StepOutput(theta=theta.reshape(G * Np, d),
+                         accept=acc.reshape(G * Np),
+                         lp=weight.reshape(G * Np))
+        return new_state, out
+
+    return step
+
+
+def init_state(model: DEModel, de: DE, spec: ParamSpec, key,
+               start_iteration: int = None) -> SamplerState:
+    """Population init (reference ``sample_init`` + ``init_particle``,
+    ``src/main.jl:263-271``, ``src/utilities.jl:1-41``): prior draws for
+    every chain; with ``n_initial > 0`` the history buffer is pre-seeded
+    with ``n_initial`` rows of prior draws per chain and chains start from
+    row 0, exactly like ``de.samples[1, :, id]``."""
+    key = rng.ensure_key(key)
+    G, Np, d, C = de.n_groups, de.Np, spec.dim, de.n_chains
+    dtype = jnp.dtype(de.dtype)
+    k_init = jax.random.fold_in(key, rng.INIT_THETA)
+
+    history = None
+    if de.uses_resample:
+        if de.n_initial < 1:
+            raise ValueError(
+                "sample=resample requires n_initial >= 1 prior-seeded "
+                "history rows (the reference recommends 10x the parameter "
+                "count, src/structs.jl:37)")
+        seeds = model.init_population(spec, k_init, de.n_initial * C, dtype)
+        history = jnp.zeros((de.n_initial, C, d), dtype).at[:, :, :].set(
+            seeds.reshape(de.n_initial, C, d))
+        theta0 = history[0].reshape(G, Np, d)
+    else:
+        theta0 = model.init_population(spec, k_init, C, dtype).reshape(G, Np, d)
+
+    fitness = accept_ops.make_fitness(model, spec, de)
+    weight0 = fitness(theta0)
+    it0 = de.n_initial + 1 if start_iteration is None else start_iteration
+    return SamplerState(theta=theta0, weight=weight0, key=key,
+                        iteration=jnp.asarray(it0, jnp.int32),
+                        history=history)
+
+
+def _grow_history(state: SamplerState, n_iter: int) -> SamplerState:
+    """Extend the history buffer to hold ``n_iter`` more rows."""
+    if state.history is None:
+        return state
+    H, C, d = state.history.shape
+    pad = jnp.zeros((n_iter, C, d), state.history.dtype)
+    return state._replace(history=jnp.concatenate([state.history, pad]))
+
+
+def _shard_state(state: SamplerState, mesh):
+    """Place the carry on a device mesh: group axis of the population and
+    chain axis of the history shard over the ``chains`` mesh axis; XLA
+    (GSPMD) inserts the collectives for migration / resample gathers."""
+    if mesh is None:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    shardings = SamplerState(
+        theta=NamedSharding(mesh, P(axis, None, None)),
+        weight=NamedSharding(mesh, P(axis, None)),
+        key=NamedSharding(mesh, P()),
+        iteration=NamedSharding(mesh, P()),
+        history=(None if state.history is None
+                 else NamedSharding(mesh, P(None, axis, None))),
+    )
+    return jax.tree.map(jax.device_put, state,
+                        shardings, is_leaf=lambda x: x is None)
+
+
+def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
+             checkpoint_every: int = 0, checkpoint_path: str = None,
+             progress_chunks: int = 20):
+    """Run ``n_iter`` steps of the jitted scan, optionally chunked for
+    progress display (the reference's ProgressMeter, ``src/main.jl:30,37``)
+    and periodic checkpointing of the carry."""
+
+    @jax.jit
+    def chunk_scan(s, n_steps_dummy):
+        return jax.lax.scan(step, s, None, length=n_steps_dummy.shape[0])
+
+    def run_chunk(s, n):
+        return chunk_scan(s, jnp.zeros((n,), jnp.int8))
+
+    chunk = n_iter
+    if checkpoint_every and checkpoint_every > 0:
+        chunk = min(chunk, checkpoint_every)
+    if progress:
+        chunk = min(chunk, max(1, math.ceil(n_iter / progress_chunks)))
+
+    outs = []
+    done = 0
+    while done < n_iter:
+        n = min(chunk, n_iter - done)
+        state, ys = run_chunk(state, n)
+        outs.append(jax.device_get(ys))
+        done += n
+        if progress:
+            print(f"\r[demcmc_tpu] {done}/{n_iter} iterations", end="",
+                  flush=True)
+        if (checkpoint_every and checkpoint_path
+                and done % checkpoint_every == 0):
+            from .utils.checkpoint import save_state
+            save_state(checkpoint_path, state)
+    if progress:
+        print()
+    ys = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+    return state, StepOutput(*ys)
+
+
+def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
+           mesh=None, checkpoint_every: int = 0, checkpoint_path: str = None,
+           return_state: bool = False, state: SamplerState = None,
+           **kwargs):
+    """Sample from the posterior (reference ``sample``,
+    ``src/main.jl:19-42``).
+
+    Call as ``sample(model, de, n_iter)`` or, for reference API parity,
+    ``sample(model, de, MCMCThreads(), n_iter)`` — the threaded form is
+    identical here (one fused tensor program; pass ``mesh=`` for device
+    parallelism).
+
+    Parameters beyond the reference: ``key`` (int seed or PRNG key — JAX has
+    no global RNG), ``mesh`` (a 1-axis ``jax.sharding.Mesh`` to shard groups
+    over devices), ``checkpoint_every/checkpoint_path`` (periodic carry
+    snapshots), ``state`` (resume from a saved carry), ``return_state``.
+
+    Returns a :class:`demcmc_tpu.Chains` (the MCMCChains.Chains analogue).
+    """
+    args = [a for a in args if not isinstance(a, MCMCThreads)]
+    if len(args) != 1:
+        raise TypeError("expected sample(model, de, n_iter) or "
+                        "sample(model, de, MCMCThreads(), n_iter)")
+    n_iter = int(args[0])
+
+    spec = make_spec(model, de)
+    if state is None:
+        state = init_state(model, de, spec, key)
+        state = _grow_history(state, n_iter)
+    state = _shard_state(state, mesh)
+
+    step = build_step(model, de, spec)
+    state, ys = run_scan(step, state, n_iter, progress=progress,
+                         checkpoint_every=checkpoint_every,
+                         checkpoint_path=checkpoint_path)
+
+    chains = bundle_samples(model, de, spec, ys, n_iter)
+    if return_state:
+        return chains, state
+    return chains
+
+
+def make_spec(model: DEModel, de: DE) -> ParamSpec:
+    """Build the ParamSpec from one host-side prior draw."""
+    example = model.draw_prior(jax.random.PRNGKey(0))
+    example = jax.tree.map(np.asarray, example)
+    return ParamSpec.from_example(model.names, example, de.bounds)
+
+
+def bundle_samples(model: DEModel, de: DE, spec: ParamSpec, ys: StepOutput,
+                   n_iter: int) -> Chains:
+    """Convert scan outputs to a Chains object (reference ``bundle_samples``,
+    ``src/main.jl:222-250``): keep ``n_iter - burnin`` draws when
+    ``discard_burnin``, with per-chain ``acceptance`` and ``lp`` internals.
+
+    Delta vs reference: with ``n_initial > 0`` the reference slices history
+    rows ``burnin+1 .. n_iter`` which straddles the prior-seed rows
+    (SURVEY.md §3.3 caveat); here the output is always the post-init
+    iterations ``burnin+1 .. n_iter``.
+    """
+    offset = de.burnin if de.discard_burnin else 0
+    if offset >= n_iter and de.discard_burnin:
+        raise ValueError(f"burnin ({de.burnin}) >= n_iter ({n_iter}); "
+                         "nothing left to return")
+    theta = np.asarray(ys.theta)[offset:]        # [Ns, C, d]
+    acc = np.asarray(ys.accept)[offset:]
+    lp = np.asarray(ys.lp)[offset:]
+    return Chains.from_samples(theta, acc, lp, spec)
