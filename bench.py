@@ -1,0 +1,88 @@
+"""Headline benchmark: chain-steps/s/chip at 4k chains (Gaussian + LBA).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The reference publishes no performance numbers (BASELINE.md), so
+``vs_baseline`` is computed against a documented estimate of the Julia
+reference's single-threaded throughput on the same two models:
+
+* Gaussian (50 obs): the reference's per-chain step is a Julia-level
+  proposal (heap-allocating Particle arithmetic) + 50-term loglike +
+  MH update — ~1 µs/chain-step => 1.0e6 chain-steps/s.
+* LBA (100 trials x 2 accumulators, 8 Φ/φ evaluations per trial): ~10x
+  the Gaussian density cost => 2.0e5 chain-steps/s.
+
+Combined baseline = geometric mean = sqrt(1e6 * 2e5) ≈ 4.47e5.  The
+benchmark value is the geometric mean of the measured chain-steps/s of
+the two models on one chip.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_CHAINS = 4096
+BASE_GAUSSIAN = 1.0e6   # est. reference chain-steps/s (see module docstring)
+BASE_LBA = 2.0e5
+
+
+def bench_model(model, de, n_iter=500):
+    from demcmc_tpu.sampler import build_step, init_state, make_spec
+
+    spec = make_spec(model, de)
+    state = init_state(model, de, spec, key=0)
+    step = build_step(model, de, spec)
+
+    @jax.jit
+    def run(s, dummy):
+        s, ys = jax.lax.scan(lambda c, _: (step(c)[0], None), s, None,
+                             length=dummy.shape[0])
+        return s
+
+    # warmup with the SAME scan length so the timed call hits the cache
+    n = jnp.zeros(n_iter, jnp.int8)
+    s = run(state, n)
+    jax.block_until_ready(s.theta)
+
+    t0 = time.perf_counter()
+    s = run(s, n)
+    jax.block_until_ready(s.theta)
+    dt = time.perf_counter() - t0
+    return n_iter * de.n_chains / dt
+
+
+def main():
+    from demcmc_tpu.models import gaussian, lba
+
+    G, Np = 256, 16
+    assert G * Np == N_CHAINS
+
+    model_g, de_g = gaussian.make(key=0, n_obs=50, n_groups=G, Np=Np,
+                                  burnin=100)
+    gauss = bench_model(model_g, de_g)
+
+    model_l, de_l = lba.make(key=0, n_trials=100, n_groups=G, Np=Np,
+                             burnin=100)
+    lba_tp = bench_model(model_l, de_l)
+
+    value = float(np.sqrt(gauss * lba_tp))
+    baseline = float(np.sqrt(BASE_GAUSSIAN * BASE_LBA))
+    print(json.dumps({
+        "metric": "chain-steps/s/chip at 4k chains (geomean Gaussian+LBA)",
+        "value": round(value, 1),
+        "unit": "chain-steps/s",
+        "vs_baseline": round(value / baseline, 3),
+        "gaussian_chain_steps_per_s": round(gauss, 1),
+        "lba_chain_steps_per_s": round(lba_tp, 1),
+        "n_chains": N_CHAINS,
+        "device": str(jax.devices()[0].platform),
+    }))
+
+
+if __name__ == "__main__":
+    main()

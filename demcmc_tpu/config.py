@@ -86,8 +86,10 @@ class DE:
             object.__setattr__(self, "update_particle", accept.mh_update)
         if self.evaluate_fitness is None:
             object.__setattr__(self, "evaluate_fitness", accept.compute_posterior)
-        if self.sample is None:
+        if self.sample in (None, "sample", "current"):
             object.__setattr__(self, "sample", proposals.sample_current)
+        elif self.sample == "resample":
+            object.__setattr__(self, "sample", proposals.resample)
         if self.uses_resample and self.Np < 3:
             raise ValueError("Np must be >= 3 when sample=resample")
         if self.blocks is not None:

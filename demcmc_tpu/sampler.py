@@ -183,8 +183,9 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
         history = state.history
         if history is not None:
             flat = theta.reshape(1, G * Np, d)
+            zero = jnp.zeros((), it.dtype)
             history = jax.lax.dynamic_update_slice(
-                history, flat.astype(history.dtype), (it - 1, 0, 0))
+                history, flat.astype(history.dtype), (it - 1, zero, zero))
 
         new_state = SamplerState(theta=theta, weight=weight, key=state.key,
                                  iteration=it + 1, history=history)

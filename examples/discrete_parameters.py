@@ -1,0 +1,23 @@
+"""Discrete (integer) parameter estimation — reference
+Examples/Discrete_Example.jl: infer a binomial N jointly with p; integer
+leaves follow the round-and-cast rule so chains stay integral.
+
+Run: python examples/discrete_parameters.py
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+import demcmc_tpu as dm
+from demcmc_tpu.models import discrete_binomial
+
+model, de, true_n, true_p = discrete_binomial.make(key=0)
+chains = dm.sample(model, de, 3000, key=2, progress=True)
+N = chains["N"].astype(int)
+print("N posterior mode:", np.bincount(N.ravel()).argmax(), "truth:", true_n)
+print("p posterior mean:", chains.mean("p"), "truth:", true_p)
+assert np.array_equal(N, np.round(N))

@@ -1,0 +1,110 @@
+"""Migration kernel mechanics — the analogue of the reference's migration
+unit tests (`test/utility_tests.jl:95-159`): the circular shift must move
+exactly one particle per participating group and preserve the population
+as a multiset.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demcmc_tpu.ops import migration
+
+
+def _pop(G=5, Np=4, d=3, seed=0):
+    key = jax.random.PRNGKey(seed)
+    theta = jax.random.normal(key, (G, Np, d), dtype=jnp.float64)
+    weight = jax.random.normal(jax.random.fold_in(key, 1), (G, Np),
+                               dtype=jnp.float64)
+    return theta, weight
+
+
+def test_migrate_preserves_population_multiset():
+    theta, weight = _pop()
+    for seed in range(10):
+        t2, w2 = migration.migrate(jax.random.PRNGKey(seed), theta, weight,
+                                   theta.shape[0])
+        a = np.sort(np.asarray(theta).reshape(-1, theta.shape[-1]), axis=0)
+        b = np.sort(np.asarray(t2).reshape(-1, theta.shape[-1]), axis=0)
+        np.testing.assert_allclose(a, b)
+        np.testing.assert_allclose(np.sort(np.asarray(weight).ravel()),
+                                   np.sort(np.asarray(w2).ravel()))
+
+
+def test_migrate_weight_follows_particle():
+    theta, weight = _pop()
+    G, Np, d = theta.shape
+    lookup = {tuple(np.round(np.asarray(theta[g, p]), 10)):
+              float(weight[g, p]) for g in range(G) for p in range(Np)}
+    t2, w2 = migration.migrate(jax.random.PRNGKey(3), theta, weight, G)
+    for g in range(G):
+        for p in range(Np):
+            k = tuple(np.round(np.asarray(t2[g, p]), 10))
+            np.testing.assert_allclose(float(w2[g, p]), lookup[k])
+
+
+def test_migrate_moves_at_most_one_particle_per_group():
+    theta, weight = _pop()
+    G, Np, _ = theta.shape
+    t2, _ = migration.migrate(jax.random.PRNGKey(11), theta, weight, G)
+    changed = np.any(np.asarray(t2) != np.asarray(theta), axis=-1)  # [G, Np]
+    per_group = changed.sum(axis=1)
+    assert np.all(per_group <= 1)
+    # at least two groups must exchange when a migration fires with
+    # distinct particles (N >= 2 participating groups)
+    assert per_group.sum() >= 2 or per_group.sum() == 0
+
+
+def test_maybe_migrate_alpha_zero_identity():
+    theta, weight = _pop()
+    t2, w2 = migration.maybe_migrate(jax.random.PRNGKey(0), theta, weight,
+                                     0.0, theta.shape[0])
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(theta))
+
+
+def test_maybe_migrate_single_group_identity():
+    theta, weight = _pop(G=1)
+    t2, w2 = migration.maybe_migrate(jax.random.PRNGKey(0), theta, weight,
+                                     0.9, 1)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(theta))
+
+
+def test_maybe_migrate_fires_at_rate_alpha():
+    theta, weight = _pop()
+    alpha = 0.3
+    fired = 0
+    n = 300
+    for seed in range(n):
+        t2, _ = migration.maybe_migrate(jax.random.PRNGKey(seed), theta,
+                                        weight, alpha, theta.shape[0])
+        if np.any(np.asarray(t2) != np.asarray(theta)):
+            fired += 1
+    rate = fired / n
+    # a fired migration can still be an identity shuffle when the same
+    # particle rotates among equal victims — allow slack below alpha
+    assert 0.15 < rate <= 0.40
+
+
+def test_migrate_prefers_low_weight_particles():
+    # victim selection is softmax(-w): make particle 0 of each group much
+    # worse; it should be the one selected nearly always
+    G, Np, d = 4, 4, 2
+    theta = jnp.arange(G * Np * d, dtype=jnp.float64).reshape(G, Np, d)
+    weight = jnp.zeros((G, Np)).at[:, 0].set(-50.0)
+    moved_other = 0
+    for seed in range(30):
+        t2, _ = migration.migrate(jax.random.PRNGKey(seed), theta, weight, G)
+        changed = np.any(np.asarray(t2) != np.asarray(theta), axis=-1)
+        if np.any(changed[:, 1:]):
+            moved_other += 1
+    assert moved_other <= 2
+
+
+def test_migrate_minus_inf_weight_selected_first():
+    # -inf weight => +inf logit in softmax(-w): always the victim
+    G, Np, d = 3, 3, 1
+    theta = jnp.arange(G * Np, dtype=jnp.float64).reshape(G, Np, d)
+    weight = jnp.zeros((G, Np)).at[:, 2].set(-jnp.inf)
+    t2, _ = migration.migrate(jax.random.PRNGKey(5), theta, weight, G)
+    changed = np.any(np.asarray(t2) != np.asarray(theta), axis=-1)
+    assert not np.any(changed[:, :2])

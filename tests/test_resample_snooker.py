@@ -1,0 +1,82 @@
+"""DE-MCz (resample-from-history) + snooker path — the analogue of
+`test/multivariate_normal_tests.jl`: few chains (Np=3, one group) in d
+dimensions can only work by sampling partners from past states.
+
+Scaled down from the reference's 30-dim × 50k iterations to keep CPU CI
+fast; the statistical assertions are proportionally looser but still fail
+if the history sampling, snooker projection, or MH correction are wrong.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import demcmc_tpu as dm
+from demcmc_tpu.models import mvnormal
+
+
+@pytest.fixture(scope="module")
+def mvn_run():
+    d = 10
+    model, de = mvnormal.make(d=d, n_obs=100, key=1, burnin=2000,
+                              dtype=np.float64)
+    chains = dm.sample(model, de, 12_000, key=3)
+    data = np.asarray(model.data, dtype=np.float64)
+    return chains, data, d
+
+
+def test_mvn_sigma_recovered(mvn_run):
+    chains, data, d = mvn_run
+    # posterior for sigma concentrates near the sample sd (sigma_true = 1)
+    assert abs(chains.mean("sigma") - 1.0) < 0.1
+
+
+def test_mvn_mu_means(mvn_run):
+    chains, data, d = mvn_run
+    mu = chains.group("mu")              # [Ns, d, C]
+    post_means = mu.mean(axis=(0, 2))
+    truth = mvnormal.analytic_posterior(data)
+    np.testing.assert_allclose(post_means, truth["mean"], atol=0.15)
+    # posterior sd ~ 0.1 at n_obs=100 (reference asserts atol 0.01 at 50k
+    # iters; we run 12k)
+    post_sds = mu.std(axis=(0, 2), ddof=1)
+    np.testing.assert_allclose(post_sds, truth["std"], atol=0.04)
+
+
+def test_mvn_mean_correlation(mvn_run):
+    chains, data, d = mvn_run
+    mu = chains.group("mu").mean(axis=(0, 2))
+    data_means = data.mean(axis=0)
+    r = np.corrcoef(mu, data_means)[0, 1]
+    assert r > 0.95  # reference: > 0.98 at 3x dims and 4x iterations
+
+
+def test_resample_requires_n_initial():
+    model, de = mvnormal.make(d=3, n_obs=20)
+    bad = de.replace(n_initial=0)
+    with pytest.raises(ValueError):
+        dm.sample(model, bad, 100, key=0)
+
+
+def test_resample_requires_np3():
+    with pytest.raises(ValueError):
+        dm.DE(Np=2, sample="resample", n_initial=10)
+
+
+def test_history_grows_and_fills():
+    from demcmc_tpu.sampler import init_state, make_spec, build_step, \
+        run_scan, _grow_history
+    model, de = mvnormal.make(d=3, n_obs=20, n_initial=8, burnin=10)
+    spec = make_spec(model, de)
+    state = init_state(model, de, spec, 0)
+    assert state.history.shape == (8, de.n_chains, spec.dim)
+    assert int(state.iteration) == 9      # n_initial + 1, like de.iter
+    state = _grow_history(state, 20)
+    assert state.history.shape == (28, de.n_chains, spec.dim)
+    step = build_step(model, de, spec)
+    state, _ = run_scan(step, state, 20)
+    h = np.asarray(state.history)
+    assert np.all(h[:28] != 0, where=np.isfinite(h[:28]))
+    # every stored row non-trivial: rows 8..27 written by the scan
+    assert np.any(h[27] != 0)
