@@ -56,24 +56,65 @@ class ProposalContext:
 # src/crossover.jl:103-140)
 # ---------------------------------------------------------------------------
 
+def _distinct_indices(key, G: int, Np: int, n: int, exclude_self: bool):
+    """Uniform without-replacement index draws, O(1) per draw.
+
+    Returns ``[n, G, Np]`` int32 indices into the particle axis: for each
+    (group, target-particle) cell, ``n`` distinct uniform indices from the
+    group, excluding the target itself when ``exclude_self``.
+
+    Uses the classic shift trick instead of argsort-of-uniforms (which
+    costs an O(Np log Np) sort per particle): draw the k-th index from a
+    range shrunk by k, then bump it past each earlier pick — exactly
+    uniform over ordered without-replacement tuples.  Supports n <= 3
+    (all the sampler ever needs: 2 DE partners, 3 snooker particles).
+    """
+    m = Np - 1 if exclude_self else Np      # candidate pool size
+    if n > 3:
+        raise NotImplementedError("n > 3 partner draws")
+    if m < n:
+        raise ValueError(f"need {n} distinct partners from {m} candidates "
+                         f"(Np={Np}, exclude_self={exclude_self})")
+    shape = (G, Np)
+    ks = jax.random.split(key, n)
+    picks = []
+    a = jax.random.randint(ks[0], shape, 0, m)
+    picks.append(a)
+    if n >= 2:
+        b = jax.random.randint(ks[1], shape, 0, m - 1)
+        b = b + (b >= a)
+        picks.append(b)
+    if n >= 3:
+        c = jax.random.randint(ks[2], shape, 0, m - 2)
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        c = c + (c >= lo)
+        c = c + (c >= hi)
+        picks.append(c)
+    idx = jnp.stack(picks)                   # [n, G, Np] in 0..m-1
+    if exclude_self:
+        self_idx = jnp.arange(Np, dtype=idx.dtype)[None, None, :]
+        idx = idx + (idx >= self_idx)        # skip the target's own slot
+    return idx
+
+
 def sample_current(ctx: ProposalContext, key, n: int, exclude_self: bool):
     """Distinct partners from the *current* group, optionally excluding the
-    target particle (reference ``sample``, ``src/crossover.jl:138-140``).
-
-    Uses the argsort-of-uniforms trick: per particle, rank Np uniforms (self
-    masked to +inf when excluded) and gather the first ``n`` — a fixed-shape
-    replacement for ``setdiff`` + ``StatsBase.sample(...; replace=false)``.
-    Returns ``[n, G, Np, d]``.
+    target particle (reference ``sample``, ``src/crossover.jl:138-140``) —
+    a fixed-shape replacement for ``setdiff`` +
+    ``StatsBase.sample(...; replace=false)``.  Returns ``[n, G, Np, d]``.
     """
     theta = ctx.theta
     G, Np, d = theta.shape
-    u = jax.random.uniform(key, (G, Np, Np))
-    if exclude_self:
-        self_mask = jnp.eye(Np, dtype=bool)[None]
-        u = jnp.where(self_mask, jnp.inf, u)
-    order = jnp.argsort(u, axis=-1)[..., :n]           # [G, Np, n]
-    gathered = jax.vmap(lambda t, i: t[i])(theta, order)  # [G, Np, n, d]
-    return jnp.moveaxis(gathered, 2, 0)                # [n, G, Np, d]
+    idx = _distinct_indices(key, G, Np, n, exclude_self)   # [n, G, Np]
+    return _gather_partners(theta, idx)
+
+
+def _gather_partners(theta, idx):
+    """theta [G, Np, d], idx [n, G, Np] -> [n, G, Np, d]."""
+    G = theta.shape[0]
+    g = jnp.arange(G)[None, :, None]
+    return theta[g, idx]
 
 
 def resample(ctx: ProposalContext, key, n: int, exclude_self: bool):

@@ -84,6 +84,51 @@ def test_sample_current_partners_within_group():
                       & (np.asarray(pm[g, :, 0]) < hi))
 
 
+def test_distinct_indices_uniform_pairs():
+    # the O(1) shift-trick sampler must be exactly uniform over ordered
+    # without-replacement pairs, excluding self
+    G, Np, n = 1, 5, 2
+    counts = np.zeros((Np, Np, Np))   # [target, a, b]
+    trials = 3000
+    for seed in range(trials):
+        idx = prop_ops._distinct_indices(jax.random.PRNGKey(seed), G, Np, n,
+                                         exclude_self=True)
+        a, b = np.asarray(idx[0][0]), np.asarray(idx[1][0])
+        for t in range(Np):
+            counts[t, a[t], b[t]] += 1
+    for t in range(Np):
+        assert counts[t, t, :].sum() == 0      # self never drawn
+        assert counts[t, :, t].sum() == 0
+        assert np.all(np.diagonal(counts[t]) == 0)   # a != b
+        # 12 valid ordered pairs, each ~ trials/12
+        valid = counts[t][counts[t] > 0]
+        assert valid.size == (Np - 1) * (Np - 2)
+        expected = trials / valid.size
+        assert np.all(np.abs(valid - expected) < 5 * np.sqrt(expected))
+
+
+def test_distinct_indices_uniform_triples_with_self():
+    G, Np, n = 1, 4, 3
+    seen = {}
+    trials = 4000
+    for seed in range(trials):
+        idx = prop_ops._distinct_indices(jax.random.PRNGKey(seed), G, Np, n,
+                                         exclude_self=False)
+        trip = tuple(int(x[0, 0]) for x in idx)
+        assert len(set(trip)) == 3             # distinct
+        seen[trip] = seen.get(trip, 0) + 1
+    assert len(seen) == Np * (Np - 1) * (Np - 2)   # all 24 ordered triples
+    expected = trials / len(seen)
+    for v in seen.values():
+        assert abs(v - expected) < 6 * np.sqrt(expected)
+
+
+def test_distinct_indices_too_few_candidates_raises():
+    with pytest.raises(ValueError):
+        prop_ops._distinct_indices(jax.random.PRNGKey(0), 1, 3, 3,
+                                   exclude_self=True)
+
+
 # ---------------------------------------------------------------------------
 # select_base — softmax(weights) categorical; -inf weights excluded
 # ---------------------------------------------------------------------------
