@@ -15,8 +15,9 @@ Export parity with the reference module
 ``compute_posterior`` (``compute_posterior!``), ``greedy_update``
 (the reference's stale ``greedy_update!`` export — alias of ``maximize``),
 ``optimize``, ``get_optimal``, ``resample``, ``as_union``, plus ``DEMCMC``
-as a module alias.  The ``Particle`` struct has no tensor-program analogue;
-see :class:`Chains` / :class:`Population` for the outputs that replace it.
+as a module alias.  ``Particle`` is provided as a host-side compatibility
+type (the sampler itself holds the population as one tensor; see
+:class:`Chains` / :class:`Population` for its outputs).
 """
 
 from . import diagnostics, models, ops, parallel, utils
@@ -29,6 +30,7 @@ from .ops.accept import (compute_posterior, evaluate_fun, greedy_update,
 from .ops.proposals import (fixed_gamma, random_gamma, resample,
                             sample_current, snooker, variable_gamma)
 from .optimize import Population, get_optimal, optimize
+from .particle import Particle
 from .sampler import SamplerState, init_state, make_spec, sample
 from .utils.checkpoint import load_state, save_state
 from .utils.pytree import as_union
@@ -40,7 +42,8 @@ import sys as _sys
 DEMCMC = _sys.modules[__name__]
 
 __all__ = [
-    "DE", "DEModel", "MCMCThreads", "Chains", "ParamSpec", "Population",
+    "DE", "DEModel", "MCMCThreads", "Chains", "ParamSpec", "Particle",
+    "Population",
     "SamplerState", "sample", "optimize", "get_optimal", "init_state",
     "make_spec", "random_gamma", "fixed_gamma", "variable_gamma", "snooker",
     "resample", "sample_current", "mh_update", "maximize", "minimize",

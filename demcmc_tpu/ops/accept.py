@@ -66,9 +66,15 @@ def mh_update(key, w_cur, w_prop, log_adj):
     ``src/utilities.jl:55-58,201-210``), in log space so ``exp`` never
     overflows: accept iff log u ≤ w' − w + log_adj.  NaN deltas (e.g. both
     weights -inf) compare false → reject, matching the reference's
-    ``rand() <= NaN === false`` behavior."""
-    u = jax.random.uniform(key, w_cur.shape, dtype=jnp.float32,
-                           minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+    ``rand() <= NaN === false`` behavior.
+
+    ``key`` may be a PRNG key or an ``rng.Pool``/``rng.KeyDraws`` source.
+    """
+    if hasattr(key, "uniform"):
+        u = key.uniform(w_cur.shape)
+    else:
+        u = jax.random.uniform(key, w_cur.shape, dtype=jnp.float32)
+    u = jnp.maximum(u, jnp.finfo(jnp.float32).tiny)
     return jnp.log(u) <= (w_prop - w_cur + log_adj)
 
 

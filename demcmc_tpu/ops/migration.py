@@ -10,9 +10,11 @@ particle, group 0 receives group N-1's).
 TPU-native shape: random-size subsets are data-dependent, so the kernel
 draws a full random permutation of the G groups, activates the first N
 positions, and scatters with identity self-copies for inactive positions —
-fixed shapes throughout.  When the group axis is sharded over a device
-mesh, the cross-group gather/scatter compiles to XLA collectives
-(all-gather of one [d] particle per group — tiny payload over ICI).
+fixed shapes throughout, and the probability-α gate folds into the
+participation mask (branchless: no ``lax.cond`` machinery in the scan
+body).  When the group axis is sharded over a device mesh, the cross-group
+gather/scatter compiles to XLA collectives (all-gather of one [d] particle
+per group — tiny payload over ICI).
 """
 
 from __future__ import annotations
@@ -23,31 +25,33 @@ import jax.numpy as jnp
 from .. import rng
 
 
-def migrate(key, theta, weight, n_groups: int):
+def migrate(draws, theta, weight, n_groups: int, fire=True):
     """One migration exchange.  ``theta [G,Np,d]``, ``weight [G,Np]``.
 
-    Returns the shifted (theta, weight).  The probability-α gate lives in
-    the step function, not here.
+    ``fire`` (bool scalar, may be traced) folds the probability-α gate
+    into the participation mask: when False the scatter degenerates to
+    self-copies.  ``draws`` is an ``rng.Pool``/``rng.KeyDraws`` source (or
+    a PRNG key for backward compatibility).
     """
+    if not hasattr(draws, "randint"):
+        draws = rng.KeyDraws(draws)
     G, Np, d = theta.shape
-    k_size = jax.random.fold_in(key, rng.MIGRATE_SIZE)
-    k_perm = jax.random.fold_in(key, rng.MIGRATE_PERM)
-    k_pick = jax.random.fold_in(key, rng.MIGRATE_PICK)
 
     # N ~ U{2..G} participating groups (reference select_groups,
     # src/migration.jl:31-35)
-    n_active = jax.random.randint(k_size, (), 2, n_groups + 1)
-    perm = jax.random.permutation(k_perm, n_groups)
+    n_active = draws.randint((), 2, n_groups + 1)
+    # random permutation of groups via argsort of uniforms (one [G] sort)
+    perm = jnp.argsort(draws.uniform((G,)))
 
     # Per-group victim ∝ softmax(-weight) via Gumbel-max (reference
     # select_particle, src/migration.jl:64-70).  -inf weights become +inf
     # logits → such particles are picked first, matching the reference's
     # NaN fallback of "take the worst particle".
-    gum = jax.random.gumbel(k_pick, (G, Np))
+    gum = draws.gumbel((G, Np))
     pidx = jnp.argmax(-weight + gum, axis=1)             # [G]
 
     pos = jnp.arange(G)
-    active = pos < n_active
+    active = (pos < n_active) & fire
     src_pos = jnp.where(active, (pos - 1) % n_active, pos)
     dst_group = perm[pos]
     src_group = perm[src_pos]
@@ -60,14 +64,12 @@ def migrate(key, theta, weight, n_groups: int):
     return new_theta, new_weight
 
 
-def maybe_migrate(key, theta, weight, alpha: float, n_groups: int):
+def maybe_migrate(draws, theta, weight, alpha: float, n_groups: int):
     """Gate migration on a single Bernoulli(α) draw per iteration
-    (reference ``rand() <= de.α``, ``src/main.jl:85``)."""
+    (reference ``rand() <= de.α``, ``src/main.jl:85``), branchless."""
     if alpha <= 0.0 or n_groups < 2:
         return theta, weight
-    gate = jax.random.uniform(jax.random.fold_in(key, rng.MIGRATE_GATE), ())
-    return jax.lax.cond(
-        gate <= alpha,
-        lambda t, w: migrate(key, t, w, n_groups),
-        lambda t, w: (t, w),
-        theta, weight)
+    if not hasattr(draws, "uniform"):
+        draws = rng.KeyDraws(draws)
+    gate = draws.uniform(())
+    return migrate(draws, theta, weight, n_groups, fire=gate <= alpha)

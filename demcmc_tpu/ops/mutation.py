@@ -15,8 +15,11 @@ import jax.numpy as jnp
 from .. import rng
 
 
-def mutate(key, theta, sigma: float):
-    """θ' = θ + N(0, σ) elementwise over the population ``[G, Np, d]``."""
-    noise = jax.random.normal(jax.random.fold_in(key, rng.MUTATE_NOISE),
-                              theta.shape, theta.dtype)
-    return theta + sigma * noise
+def mutate(draws, theta, sigma: float):
+    """θ' = θ + N(0, σ) elementwise over the population ``[G, Np, d]``.
+
+    ``draws`` is an ``rng.Pool``/``rng.KeyDraws`` source (or a PRNG key
+    for backward compatibility)."""
+    if not hasattr(draws, "normal"):
+        draws = rng.KeyDraws(draws)
+    return theta + sigma * draws.normal(theta.shape, theta.dtype)

@@ -7,6 +7,12 @@ tensor expression over the full population ``[G, Np, d]`` so XLA fuses
 proposal generation, noise, recombination and rounding into a single
 kernel feeding the fitness evaluation.
 
+All randomness is pulled from a ``draws`` source (:class:`demcmc_tpu.rng.Pool`
+in the fused step: ONE threefry invocation per iteration, sliced by static
+offsets — per-call ``jax.random`` kernels were the dominant per-step cost
+at small populations).  Custom strategy callables still receive a PRNG key
+and may use ``jax.random`` directly.
+
 Semantic deltas vs the reference (see SURVEY.md §3.5), both MCMC-valid:
 
 * Synchronous within-group updates: every particle proposes from the
@@ -40,15 +46,33 @@ class ProposalContext:
     weight: jnp.ndarray          # [G, Np] current log posterior / objective
     iteration: jnp.ndarray       # scalar int32, 1-based, includes n_initial
     history: Optional[jnp.ndarray]  # [H, C, d] past states ('resample' mode)
+    draws: Any = None            # rng.Pool / rng.KeyDraws random source
+    key: Any = None              # PRNG key for CUSTOM strategy callables
 
     @property
     def dim(self) -> int:
         return self.theta.shape[-1]
 
-    def partners(self, key, n: int, exclude_self: bool):
-        """Draw ``n`` partner populations ``[n, G, Np, d]`` via the ``sample``
+    def partner_indices_or_values(self, n: int, exclude_self: bool):
+        """Either ``('idx', [n, G, Np] indices)`` into the current
+        population (sample_current — lets the caller fuse gathers) or
+        ``('val', [n, G, Np, d] vectors)`` (resample / custom slots)."""
+        slot = self.de.sample
+        if slot is sample_current:
+            G, Np = self.theta.shape[:2]
+            return "idx", _distinct_indices(self.draws, G, Np, n,
+                                            exclude_self)
+        if slot is resample:
+            return "val", resample(self, None, n, exclude_self)
+        return "val", slot(self, self.key, n, exclude_self)
+
+    def partners(self, n: int, exclude_self: bool):
+        """``n`` partner populations ``[n, G, Np, d]`` via the ``sample``
         strategy slot (``sample_current`` or ``resample``)."""
-        return self.de.sample(self, key, n, exclude_self)
+        kind, v = self.partner_indices_or_values(n, exclude_self)
+        if kind == "idx":
+            return _gather_partners(self.theta, v)
+        return v
 
 
 # ---------------------------------------------------------------------------
@@ -56,7 +80,7 @@ class ProposalContext:
 # src/crossover.jl:103-140)
 # ---------------------------------------------------------------------------
 
-def _distinct_indices(key, G: int, Np: int, n: int, exclude_self: bool):
+def _distinct_indices(draws, G: int, Np: int, n: int, exclude_self: bool):
     """Uniform without-replacement index draws, O(1) per draw.
 
     Returns ``[n, G, Np]`` int32 indices into the particle axis: for each
@@ -76,16 +100,15 @@ def _distinct_indices(key, G: int, Np: int, n: int, exclude_self: bool):
         raise ValueError(f"need {n} distinct partners from {m} candidates "
                          f"(Np={Np}, exclude_self={exclude_self})")
     shape = (G, Np)
-    ks = jax.random.split(key, n)
     picks = []
-    a = jax.random.randint(ks[0], shape, 0, m)
+    a = draws.randint(shape, 0, m)
     picks.append(a)
     if n >= 2:
-        b = jax.random.randint(ks[1], shape, 0, m - 1)
+        b = draws.randint(shape, 0, m - 1)
         b = b + (b >= a)
         picks.append(b)
     if n >= 3:
-        c = jax.random.randint(ks[2], shape, 0, m - 2)
+        c = draws.randint(shape, 0, m - 2)
         lo = jnp.minimum(a, b)
         hi = jnp.maximum(a, b)
         c = c + (c >= lo)
@@ -98,23 +121,40 @@ def _distinct_indices(key, G: int, Np: int, n: int, exclude_self: bool):
     return idx
 
 
+def _gather_partners(theta, idx):
+    """theta [G, Np, d], idx [n, G, Np] -> [n, G, Np, d].
+
+    For small groups the gather is done as a one-hot batched matmul —
+    TPU gathers serialize on the scalar core while a [G, n·Np, Np] ×
+    [G, Np, d] contraction rides the MXU in one kernel.
+    """
+    n, G, Np = idx.shape
+    d = theta.shape[-1]
+    if Np <= 128:
+        onehot = jax.nn.one_hot(idx, Np, dtype=theta.dtype)  # [n, G, Np, Np]
+        lhs = jnp.moveaxis(onehot, 0, 1).reshape(G, n * Np, Np)
+        out = jax.lax.dot_general(
+            lhs, theta, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=theta.dtype)              # [G, n·Np, d]
+        return jnp.moveaxis(out.reshape(G, n, Np, d), 1, 0)
+    g = jnp.arange(G)[None, :, None]
+    return theta[g, idx]
+
+
 def sample_current(ctx: ProposalContext, key, n: int, exclude_self: bool):
     """Distinct partners from the *current* group, optionally excluding the
     target particle (reference ``sample``, ``src/crossover.jl:138-140``) —
     a fixed-shape replacement for ``setdiff`` +
     ``StatsBase.sample(...; replace=false)``.  Returns ``[n, G, Np, d]``.
+
+    ``key`` is accepted for strategy-slot signature compatibility; draws
+    come from ``ctx.draws`` (or from the key if no draw source is set).
     """
     theta = ctx.theta
     G, Np, d = theta.shape
-    idx = _distinct_indices(key, G, Np, n, exclude_self)   # [n, G, Np]
+    draws = ctx.draws if ctx.draws is not None else rng.KeyDraws(key)
+    idx = _distinct_indices(draws, G, Np, n, exclude_self)   # [n, G, Np]
     return _gather_partners(theta, idx)
-
-
-def _gather_partners(theta, idx):
-    """theta [G, Np, d], idx [n, G, Np] -> [n, G, Np, d]."""
-    G = theta.shape[0]
-    g = jnp.arange(G)[None, :, None]
-    return theta[g, idx]
 
 
 def resample(ctx: ProposalContext, key, n: int, exclude_self: bool):
@@ -129,8 +169,9 @@ def resample(ctx: ProposalContext, key, n: int, exclude_self: bool):
                          "count) on the DE config")
     H, C, d = ctx.history.shape
     G, Np = ctx.theta.shape[:2]
+    draws = ctx.draws if ctx.draws is not None else rng.KeyDraws(key)
     count = jnp.maximum(ctx.iteration - 1, 1)          # rows available
-    r = jax.random.randint(key, (n, G, Np), 0, count * C)
+    r = draws.randint((n, G, Np), 0, count * C)
     row, chain = r // C, r % C
     return ctx.history[row, chain]                     # [n, G, Np, d]
 
@@ -139,48 +180,47 @@ def resample(ctx: ProposalContext, key, n: int, exclude_self: bool):
 # Shared pieces
 # ---------------------------------------------------------------------------
 
-def select_base(key, theta, weight):
-    """Per-particle base vector θb drawn ∝ softmax(weight) over the group
+def select_base_idx(draws, weight, Np: int):
+    """Per-particle base index drawn ∝ softmax(weight) over the group
     (reference ``select_base``, ``src/crossover.jl:282-289``), via
     Gumbel-max so ``-inf`` weights get probability zero without NaNs.
-    Returns ``[G, Np, d]``.
+    Returns ``[G, Np]`` indices.
     """
-    G, Np, d = theta.shape
-    gum = jax.random.gumbel(key, (G, Np, Np))
+    G = weight.shape[0]
+    gum = draws.gumbel((G, Np, Np))
     scores = weight[:, None, :] + gum                  # [G, Np(target), Np]
-    idx = jnp.argmax(scores, axis=-1)                  # [G, Np]
-    return jax.vmap(lambda t, i: t[i])(theta, idx)
+    return jnp.argmax(scores, axis=-1)                 # [G, Np]
 
 
-def recombination(key, theta, prop, kappa: float):
+def select_base(key, theta, weight):
+    """Materialized ``select_base_idx`` from a PRNG key: ``[G, Np, d]``."""
+    idx = select_base_idx(rng.KeyDraws(key), weight, theta.shape[1])
+    return _gather_partners(theta, idx[None])[0]
+
+
+def recombination(draws, theta, prop, kappa: float):
     """With probability (1-κ) per scalar, reset the proposal component to the
     current value (reference ``recombination!``, ``src/crossover.jl:301-321``).
-    No-op at the default κ=1."""
+    No-op at the default κ=1.  ``draws`` may also be a PRNG key."""
     if kappa >= 1.0:
         return prop
-    keep = jax.random.uniform(key, prop.shape) > (1.0 - kappa)
+    if not hasattr(draws, "uniform"):
+        draws = rng.KeyDraws(draws)
+    keep = draws.uniform(prop.shape) > (1.0 - kappa)
     return jnp.where(keep, prop, theta)
 
 
-def _noise(key, shape, eps: float, dtype):
-    return jax.random.uniform(key, shape, dtype=dtype,
-                              minval=-eps, maxval=eps)
-
-
-def _round_ints(spec, x):
-    """Final round-and-snap for integer parameters (reference rounds inside
-    each ``*′``/``+′`` op, ``src/utilities.jl:360-369``; rounding once at the
-    end has the same support — documented delta)."""
-    if not spec.has_int:
-        return x
-    return jnp.where(jnp.asarray(spec.int_mask), jnp.round(x), x)
+def _noise(draws, shape, eps: float, dtype):
+    if eps == 0.0:
+        return 0.0
+    return draws.uniform(shape, -eps, eps, dtype)
 
 
 # ---------------------------------------------------------------------------
 # DE proposal strategies (the `generate_proposal` slot)
 # ---------------------------------------------------------------------------
 
-def random_gamma(ctx: ProposalContext, key):
+def random_gamma(ctx: ProposalContext, key=None):
     """Default two-mode DE proposal (Turner et al. 2012; reference
     ``random_gamma``, ``src/crossover.jl:154-172``)::
 
@@ -188,50 +228,60 @@ def random_gamma(ctx: ProposalContext, key):
         γ₁, γ₂ ~ U(0.5, 1),  γ₂ = 0 after burnin,  b ~ U(-ϵ, ϵ) per scalar,
 
     with θb drawn ∝ softmax(weights) and m, n distinct non-self partners.
+    The base vector and both partners are materialized by ONE fused
+    one-hot matmul when partners come from the current population.
     """
     de, theta = ctx.de, ctx.theta
     G, Np, d = theta.shape
-    kb = jax.random.fold_in(key, rng.CROSS_BASE)
-    kp = jax.random.fold_in(key, rng.CROSS_PARTNERS)
-    k1 = jax.random.fold_in(key, rng.CROSS_GAMMA1)
-    k2 = jax.random.fold_in(key, rng.CROSS_GAMMA2)
-    kn = jax.random.fold_in(key, rng.CROSS_NOISE)
-    kr = jax.random.fold_in(key, rng.RECOMBINE)
+    draws = ctx.draws if ctx.draws is not None else rng.KeyDraws(key)
+    ctx = _with_draws(ctx, draws)
 
-    base = select_base(kb, theta, ctx.weight)
-    pm, pn = ctx.partners(kp, 2, exclude_self=True)
-    g1 = jax.random.uniform(k1, (G, Np, 1), theta.dtype, 0.5, 1.0)
-    g2 = jax.random.uniform(k2, (G, Np, 1), theta.dtype, 0.5, 1.0)
+    bidx = select_base_idx(draws, ctx.weight, Np)
+    kind, pv = ctx.partner_indices_or_values(2, exclude_self=True)
+    if kind == "idx":
+        idx = jnp.concatenate([bidx[None], pv])            # [3, G, Np]
+        base, pm, pn = _gather_partners(theta, idx)
+    else:
+        base = _gather_partners(theta, bidx[None])[0]
+        pm, pn = pv
+    g1 = draws.uniform((G, Np, 1), 0.5, 1.0, theta.dtype)
+    g2 = draws.uniform((G, Np, 1), 0.5, 1.0, theta.dtype)
     # γ₂ = 0 after burnin; `iteration` includes the n_initial offset exactly
     # like the reference (`de.iter > de.burnin`, src/crossover.jl:164 with
     # src/main.jl:34).
     g2 = jnp.where(ctx.iteration > de.burnin, 0.0, g2)
     prop = (theta + g1 * (pm - pn) + g2 * (base - theta)
-            + _noise(kn, theta.shape, de.epsilon, theta.dtype))
-    return recombination(kr, theta, prop, de.kappa)
+            + _noise(draws, theta.shape, de.epsilon, theta.dtype))
+    return recombination(draws, theta, prop, de.kappa)
 
 
-def fixed_gamma(ctx: ProposalContext, key):
+def fixed_gamma(ctx: ProposalContext, key=None):
     """θ' = θt + 2.38(θm − θn) + b (reference ``fixed_gamma``,
     ``src/crossover.jl:186-199``)."""
     return _plain_de(ctx, key, 2.38)
 
 
-def variable_gamma(ctx: ProposalContext, key):
+def variable_gamma(ctx: ProposalContext, key=None):
     """θ' = θt + 2.38/√(2d)·(θm − θn) + b with d the total scalar parameter
     count (reference ``variable_gamma``, ``src/crossover.jl:213-226``)."""
     return _plain_de(ctx, key, 2.38 / jnp.sqrt(2.0 * ctx.dim))
 
 
+def _with_draws(ctx, draws):
+    if ctx.draws is draws:
+        return ctx
+    from dataclasses import replace
+    return replace(ctx, draws=draws)
+
+
 def _plain_de(ctx, key, gamma):
     de, theta = ctx.de, ctx.theta
-    kp = jax.random.fold_in(key, rng.CROSS_PARTNERS)
-    kn = jax.random.fold_in(key, rng.CROSS_NOISE)
-    kr = jax.random.fold_in(key, rng.RECOMBINE)
-    pm, pn = ctx.partners(kp, 2, exclude_self=True)
-    prop = theta + gamma * (pm - pn) + _noise(kn, theta.shape, de.epsilon,
-                                              theta.dtype)
-    return recombination(kr, theta, prop, de.kappa)
+    draws = ctx.draws if ctx.draws is not None else rng.KeyDraws(key)
+    ctx = _with_draws(ctx, draws)
+    pm, pn = ctx.partners(2, exclude_self=True)
+    prop = theta + gamma * (pm - pn) + _noise(draws, theta.shape,
+                                              de.epsilon, theta.dtype)
+    return recombination(draws, theta, prop, de.kappa)
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +296,7 @@ def project(p1, p2, axis=-1, eps=0.0):
     return num / (den + eps) * p2
 
 
-def snooker(ctx: ProposalContext, key):
+def snooker(ctx: ProposalContext, key=None):
     """Snooker proposal along the line θt − z (ter Braak & Vrugt 2008;
     reference ``snooker_update!``, ``src/crossover.jl:239-257``).
 
@@ -262,22 +312,20 @@ def snooker(ctx: ProposalContext, key):
     """
     de, theta = ctx.de, ctx.theta
     G, Np, d = theta.shape
-    kp = jax.random.fold_in(key, rng.SNOOKER_PARTNERS)
-    kg = jax.random.fold_in(key, rng.SNOOKER_GAMMA)
-    kn = jax.random.fold_in(key, rng.SNOOKER_NOISE)
-    kr = jax.random.fold_in(key, rng.RECOMBINE + 100)
+    draws = ctx.draws if ctx.draws is not None else rng.KeyDraws(key)
+    ctx = _with_draws(ctx, draws)
 
-    pz, pm, pn = ctx.partners(kp, 3, exclude_self=False)
+    pz, pm, pn = ctx.partners(3, exclude_self=False)
     pd = theta - pz
     den = jnp.sum(pd * pd, axis=-1)                      # [G, Np]
     degenerate = den <= jnp.finfo(theta.dtype).tiny
     safe_pd = jnp.where(degenerate[..., None], 1.0, pd)
     r1 = project(pm, safe_pd)
     r2 = project(pn, safe_pd)
-    gamma = jax.random.uniform(kg, (G, Np, 1), theta.dtype, 1.2, 2.2)
+    gamma = draws.uniform((G, Np, 1), 1.2, 2.2, theta.dtype)
     prop = (theta + gamma * (r1 - r2)
-            + _noise(kn, theta.shape, de.epsilon, theta.dtype))
-    prop = recombination(kr, theta, prop, de.kappa)
+            + _noise(draws, theta.shape, de.epsilon, theta.dtype))
+    prop = recombination(draws, theta, prop, de.kappa)
     prop = jnp.where(degenerate[..., None], theta, prop)
     return prop, pz, degenerate
 

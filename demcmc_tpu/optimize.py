@@ -26,6 +26,19 @@ class Population(NamedTuple):
     weight: np.ndarray   # [C] objective values
     spec: object
 
+    @property
+    def particles(self):
+        """The population as host-side :class:`demcmc_tpu.Particle` objects
+        (the reference's return type for ``optimize``)."""
+        from .particle import Particle
+        out = []
+        for i in range(self.theta.shape[0]):
+            params = [np.asarray(p) for p in
+                      self.spec.unflatten(self.theta[i])]
+            out.append(Particle(theta=params, weight=float(self.weight[i]),
+                                id=i + 1))
+        return out
+
 
 def optimize(model: DEModel, de: DE, *args, key=0, progress: bool = False,
              mesh=None, **kwargs) -> Population:

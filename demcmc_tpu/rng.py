@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Static purpose tags. One tag per distinct random decision inside a step so
 # draws never alias between subsystems.
@@ -54,3 +55,127 @@ def ensure_key(key) -> jax.Array:
 
 def uniform(key, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype=dtype, minval=lo, maxval=hi)
+
+
+class Pool:
+    """One fused random-bit generation per sampler step.
+
+    Every ``jax.random.*`` call lowers to its own counter-hash kernel; a
+    full DE-MCMC step makes ~12 of them, and at small population sizes the
+    step cost is pure kernel-count overhead.  The pool draws ONE uint32
+    buffer for the whole step (single fused threefry) and derives every
+    uniform / gumbel / normal / randint from static slices of it.
+
+    Consumption order is part of the program (static shapes ⇒ static
+    offsets), so same key ⇒ bit-identical chains, as with per-call keys.
+
+    Derivations:
+    * uniform: top 24 bits × 2⁻²⁴ → [0, 1) with full f32 mantissa use.
+    * gumbel:  −log(−log(u)) with u clamped to (0, 1).
+    * normal:  Box-Muller from two uniforms.
+    * randint: ``bits % n`` — exact for power-of-two ranges, ≤ 2⁻²⁴
+      relative bias otherwise (n is never > a few thousand here).
+    """
+
+    def __init__(self, key, n_words: int):
+        self.bits = jax.random.bits(key, (int(n_words),), jnp.uint32)
+        self.offset = 0
+
+    def _take(self, shape):
+        n = int(np.prod(shape)) if shape else 1
+        if self.offset + n > self.bits.shape[0]:
+            raise ValueError("random pool exhausted; size it to the step")
+        w = jax.lax.dynamic_slice_in_dim(self.bits, self.offset, n)
+        self.offset += n
+        return w.reshape(shape)
+
+    def uniform(self, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
+        scale = np.asarray(2.0 ** -24, dtype)
+        u = (self._take(shape) >> 8).astype(dtype) * scale
+        if lo == 0.0 and hi == 1.0:
+            return u
+        return lo + (hi - lo) * u
+
+    def gumbel(self, shape=(), dtype=jnp.float32):
+        u = self.uniform(shape, dtype=dtype)
+        tiny = jnp.finfo(dtype).tiny
+        return -jnp.log(-jnp.log(jnp.maximum(u, tiny)))
+
+    def normal(self, shape=(), dtype=jnp.float32):
+        u1 = jnp.maximum(self.uniform(shape, dtype=dtype),
+                         jnp.finfo(dtype).tiny)
+        u2 = self.uniform(shape, dtype=dtype)
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+    def randint(self, shape, lo: int, hi: int):
+        span = jnp.uint32(hi - lo)
+        return (self._take(shape) % span).astype(jnp.int32) + lo
+
+    def bernoulli(self, shape, p):
+        return self.uniform(shape) <= p
+
+
+class CountingDraws:
+    """Shape-faithful stand-in used to SIZE a :class:`Pool`: run the step
+    body once under ``jax.eval_shape`` with this source and ``.words``
+    tallies exactly what the real pool will consume (same per-method word
+    accounting as Pool — normal costs 2 words/element via Box-Muller).
+    """
+
+    def __init__(self):
+        self.words = 0
+
+    def _n(self, shape):
+        n = int(np.prod(shape)) if shape else 1
+        return n
+
+    def uniform(self, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
+        self.words += self._n(shape)
+        return jnp.zeros(shape, dtype) + lo
+
+    def gumbel(self, shape=(), dtype=jnp.float32):
+        self.words += self._n(shape)
+        return jnp.zeros(shape, dtype)
+
+    def normal(self, shape=(), dtype=jnp.float32):
+        self.words += 2 * self._n(shape)
+        return jnp.zeros(shape, dtype)
+
+    def randint(self, shape, lo, hi):
+        self.words += self._n(shape)
+        return jnp.zeros(shape, jnp.int32) + lo
+
+    def bernoulli(self, shape, p):
+        self.words += self._n(shape)
+        return jnp.zeros(shape, bool)
+
+
+class KeyDraws:
+    """Same interface as :class:`Pool`, but one fold_in-derived key per
+    draw — the fallback source used outside the fused step (init) and a
+    reference implementation for tests.  Slower (one hash kernel per
+    call); the sampler's hot path always uses :class:`Pool`.
+    """
+
+    def __init__(self, key):
+        self.key = key
+        self.i = 0
+
+    def _next(self):
+        self.i += 1
+        return jax.random.fold_in(self.key, self.i)
+
+    def uniform(self, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
+        return jax.random.uniform(self._next(), shape, dtype, lo, hi)
+
+    def gumbel(self, shape=(), dtype=jnp.float32):
+        return jax.random.gumbel(self._next(), shape, dtype)
+
+    def normal(self, shape=(), dtype=jnp.float32):
+        return jax.random.normal(self._next(), shape, dtype)
+
+    def randint(self, shape, lo, hi):
+        return jax.random.randint(self._next(), shape, lo, hi, jnp.int32)
+
+    def bernoulli(self, shape, p):
+        return self.uniform(shape) <= p

@@ -87,32 +87,38 @@ def flatten_block(spec: ParamSpec, block) -> np.ndarray:
 
 
 def build_step(model: DEModel, de: DE, spec: ParamSpec):
-    """Build the fused one-iteration step function (pure, jittable)."""
+    """Build the fused one-iteration step function (pure, jittable).
+
+    All randomness for one iteration comes from a single :class:`rng.Pool`
+    (one fused threefry per step, sized once at build time by tracing the
+    step body with a :class:`rng.CountingDraws` stub under ``eval_shape``)
+    — per-call ``jax.random`` kernels were the dominant per-iteration cost
+    at small populations.
+    """
     G, Np, d = de.n_groups, de.Np, spec.dim
     fitness = accept_ops.make_fitness(model, spec, de)
     update_fn = accept_ops.make_update(de)
+    builtin_update = de.is_mh or de.is_maximize or de.is_minimize
     int_mask = jnp.asarray(spec.int_mask) if spec.has_int else None
     block_masks = None
     if de.blocks is not None:
         block_masks = [jnp.asarray(flatten_block(spec, b)) for b in de.blocks]
 
-    def do_update(theta, weight, iteration, history, key, block_mask):
+    def do_update(draws, theta, weight, iteration, history, key, block_mask):
         """One mutate-or-crossover sweep over all groups (reference
         ``mutate_or_crossover!``, ``src/main.jl:199-207``)."""
+        k_custom = jax.random.fold_in(key, rng.CUSTOM)
         ctx = proposal_ops.ProposalContext(
             de=de, spec=spec, theta=theta, weight=weight,
-            iteration=iteration, history=history)
+            iteration=iteration, history=history, draws=draws,
+            key=k_custom)
 
         # --- crossover branch -------------------------------------------
-        k_prop = jax.random.fold_in(key, rng.CUSTOM)
-        cross = de.generate_proposal(ctx, k_prop)
+        cross = de.generate_proposal(ctx, k_custom)
         log_adj = jnp.zeros((G, Np), theta.dtype)
         if de.uses_snooker:
-            k_gate = jax.random.fold_in(key, rng.SNOOKER_GATE)
-            sn_gate = (jax.random.uniform(k_gate, (G, Np))
-                       <= de.theta_snooker)
-            k_sn = jax.random.fold_in(key, rng.SNOOKER_PARTNERS + 77)
-            sn_prop, z, degen = proposal_ops.snooker(ctx, k_sn)
+            sn_gate = draws.uniform((G, Np)) <= de.theta_snooker
+            sn_prop, z, degen = proposal_ops.snooker(ctx)
             cross = jnp.where(sn_gate[..., None], sn_prop, cross)
         if block_mask is not None:
             # reset! semantics: non-block params revert to current values
@@ -126,9 +132,8 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
         # --- mutation branch (per-group Bernoulli(β); mutation ignores
         # block masks, matching src/main.jl:199-207) ----------------------
         if de.beta > 0.0:
-            k_mg = jax.random.fold_in(key, rng.MUTATE_GATE)
-            mut_mask = jax.random.uniform(k_mg, (G,)) <= de.beta
-            mut_prop = mutation_ops.mutate(key, theta, de.sigma)
+            mut_mask = draws.uniform((G,)) <= de.beta
+            mut_prop = mutation_ops.mutate(draws, theta, de.sigma)
             prop = jnp.where(mut_mask[:, None, None], mut_prop, cross)
             log_adj = jnp.where(mut_mask[:, None], 0.0, log_adj)
         else:
@@ -140,43 +145,62 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
         # --- fitness + accept (THE hot kernel: user logpost vmapped over
         # the population; everything above fuses into it) -----------------
         w_prop = fitness(prop)
-        k_acc = jax.random.fold_in(key, rng.ACCEPT)
-        acc = update_fn(k_acc, weight, w_prop, log_adj)
+        acc_src = draws if builtin_update else jax.random.fold_in(
+            key, rng.ACCEPT)
+        acc = update_fn(acc_src, weight, w_prop, log_adj)
         theta, weight = accept_ops.apply_accept(theta, weight, prop,
                                                 w_prop, acc)
         return theta, weight, acc
 
-    def step(state: SamplerState, _=None):
-        it = state.iteration
-        kit = jax.random.fold_in(state.key, it)
-
+    def step_core(draws, theta, weight, it, history, kit):
         # 1. migration with probability α (src/main.jl:85)
         theta, weight = migration_ops.maybe_migrate(
-            kit, state.theta, state.weight, de.alpha, G)
+            draws, theta, weight, de.alpha, G)
 
         # 2. block_update! or mutate_or_crossover! (src/main.jl:161-207)
         def plain(theta, weight):
-            return do_update(theta, weight, it, state.history, kit, None)
+            return do_update(draws, theta, weight, it, history, kit, None)
 
         def blocked(theta, weight):
             for bi, bmask in enumerate(block_masks):
                 kb = jax.random.fold_in(kit, rng.BLOCK * 1000 + bi)
-                theta, weight, acc = do_update(theta, weight, it,
-                                               state.history, kb, bmask)
+                theta, weight, acc = do_update(draws, theta, weight, it,
+                                               history, kb, bmask)
             # accept/lp from the last block — the reference's mh_update!
             # overwrites accept[iter]/lp[iter] once per block
             # (src/utilities.jl:201-210), so the final block wins there too.
             return theta, weight, acc
 
         if block_masks is None:
-            theta, weight, acc = plain(theta, weight)
-        else:
-            flag = de.blocking_on(_DEView(de, it))
-            if isinstance(flag, (bool, np.bool_)):
-                theta, weight, acc = (blocked if flag else plain)(theta, weight)
-            else:
-                theta, weight, acc = jax.lax.cond(flag, blocked, plain,
-                                                  theta, weight)
+            return plain(theta, weight)
+        flag = de.blocking_on(_DEView(de, it))
+        if isinstance(flag, (bool, np.bool_)):
+            return (blocked if flag else plain)(theta, weight)
+        return jax.lax.cond(flag, blocked, plain, theta, weight)
+
+    # ---- pool sizing: trace the core once with a counting stub ----------
+    counter = rng.CountingDraws()
+    dtype = jnp.dtype(de.dtype)
+    hist_spec = (None if not de.uses_resample else
+                 jax.ShapeDtypeStruct((1, de.n_chains, d), dtype))
+
+    def _probe(theta, weight, it, kit):
+        return step_core(counter, theta, weight, it, hist_spec and
+                         jnp.zeros(hist_spec.shape, hist_spec.dtype), kit)[0]
+
+    jax.eval_shape(_probe,
+                   jax.ShapeDtypeStruct((G, Np, d), dtype),
+                   jax.ShapeDtypeStruct((G, Np), dtype),
+                   jax.ShapeDtypeStruct((), jnp.int32),
+                   jax.random.PRNGKey(0))
+    pool_words = max(counter.words, 1)
+
+    def step(state: SamplerState, _=None):
+        it = state.iteration
+        kit = jax.random.fold_in(state.key, it)
+        draws = rng.Pool(kit, pool_words)
+        theta, weight, acc = step_core(draws, state.theta, state.weight,
+                                       it, state.history, kit)
 
         # 3. store_samples! (src/utilities.jl:161-180): only the resample
         # strategy reads history; trajectory output rides the scan ys.

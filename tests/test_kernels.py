@@ -11,6 +11,7 @@ from demcmc_tpu import DE, DEModel, ParamSpec
 from demcmc_tpu.ops import accept as accept_ops
 from demcmc_tpu.ops import mutation as mutation_ops
 from demcmc_tpu.ops import proposals as prop_ops
+from demcmc_tpu import rng
 
 
 def _ctx(theta, weight, de=None, iteration=1, history=None):
@@ -91,8 +92,8 @@ def test_distinct_indices_uniform_pairs():
     counts = np.zeros((Np, Np, Np))   # [target, a, b]
     trials = 3000
     for seed in range(trials):
-        idx = prop_ops._distinct_indices(jax.random.PRNGKey(seed), G, Np, n,
-                                         exclude_self=True)
+        idx = prop_ops._distinct_indices(rng.KeyDraws(jax.random.PRNGKey(seed)),
+                                         G, Np, n, exclude_self=True)
         a, b = np.asarray(idx[0][0]), np.asarray(idx[1][0])
         for t in range(Np):
             counts[t, a[t], b[t]] += 1
@@ -112,8 +113,8 @@ def test_distinct_indices_uniform_triples_with_self():
     seen = {}
     trials = 4000
     for seed in range(trials):
-        idx = prop_ops._distinct_indices(jax.random.PRNGKey(seed), G, Np, n,
-                                         exclude_self=False)
+        idx = prop_ops._distinct_indices(rng.KeyDraws(jax.random.PRNGKey(seed)),
+                                         G, Np, n, exclude_self=False)
         trip = tuple(int(x[0, 0]) for x in idx)
         assert len(set(trip)) == 3             # distinct
         seen[trip] = seen.get(trip, 0) + 1
@@ -125,7 +126,7 @@ def test_distinct_indices_uniform_triples_with_self():
 
 def test_distinct_indices_too_few_candidates_raises():
     with pytest.raises(ValueError):
-        prop_ops._distinct_indices(jax.random.PRNGKey(0), 1, 3, 3,
+        prop_ops._distinct_indices(rng.KeyDraws(jax.random.PRNGKey(0)), 1, 3, 3,
                                    exclude_self=True)
 
 
