@@ -36,6 +36,7 @@ def migrate(draws, theta, weight, n_groups: int, fire=True):
     if not hasattr(draws, "randint"):
         draws = rng.KeyDraws(draws)
     G, Np, d = theta.shape
+    dt = theta.dtype
 
     # N ~ U{2..G} participating groups (reference select_groups,
     # src/migration.jl:31-35)
@@ -50,26 +51,51 @@ def migrate(draws, theta, weight, n_groups: int, fire=True):
     gum = draws.gumbel((G, Np))
     pidx = jnp.argmax(-weight + gum, axis=1)             # [G]
 
+    # Everything below is gather/scatter-free: TPU gathers serialize on
+    # the scalar core, so the one-particle-per-group exchange is routed
+    # through one-hot matmuls on the MXU instead.
     pos = jnp.arange(G)
     active = (pos < n_active) & fire
     src_pos = jnp.where(active, (pos - 1) % n_active, pos)
-    dst_group = perm[pos]
-    src_group = perm[src_pos]
+    oh_dst = jax.nn.one_hot(perm, G, dtype=dt)           # [i, g] dst groups
+    # src group of slot i is perm[src_pos[i]]: one-hot via permutation
+    # matrix product — onehot(perm[j]) rows re-indexed by src_pos.
+    oh_src = jax.nn.one_hot(src_pos, G, dtype=dt) @ oh_dst   # [i, g'] src
+    # route matrix R[g, g'] = 1 iff group g receives group g''s particle
+    route = oh_dst.T @ oh_src                            # [G, G]
 
-    sel_theta = theta[jnp.arange(G), pidx]               # [G, d]
-    sel_w = weight[jnp.arange(G), pidx]                  # [G]
+    victim = jax.nn.one_hot(pidx, Np, dtype=dt)          # [G, Np]
+    vmask = victim > 0.5
+    sel_theta = jnp.einsum("gp,gpd->gd", victim, theta)  # [G, d]  (MXU)
+    # weights can be -inf: matmul would produce 0·inf = NaN, so weight
+    # routing uses where/max selects instead of dots.
+    sel_w = jnp.sum(jnp.where(vmask, weight, 0.0), axis=1)       # [G]
+    routed_theta = route @ sel_theta                     # [G, d]  (MXU)
+    routed_w = jnp.max(jnp.where(route > 0.5, sel_w[None, :], -jnp.inf),
+                       axis=1)                           # [G]
 
-    new_theta = theta.at[dst_group, pidx[dst_group]].set(sel_theta[src_group])
-    new_weight = weight.at[dst_group, pidx[dst_group]].set(sel_w[src_group])
+    new_theta = jnp.where(vmask[..., None],
+                          routed_theta[:, None, :], theta)
+    new_weight = jnp.where(vmask, routed_w[:, None], weight)
     return new_theta, new_weight
 
 
 def maybe_migrate(draws, theta, weight, alpha: float, n_groups: int):
     """Gate migration on a single Bernoulli(α) draw per iteration
-    (reference ``rand() <= de.α``, ``src/main.jl:85``), branchless."""
+    (reference ``rand() <= de.α``, ``src/main.jl:85``).
+
+    Uses ``lax.cond``: the gate is replicated so every device takes the
+    same branch, and the exchange's collectives/matmuls only execute on
+    the ~α fraction of iterations that actually migrate (measured faster
+    than the branchless masked form both single-chip and sharded).
+    """
     if alpha <= 0.0 or n_groups < 2:
         return theta, weight
     if not hasattr(draws, "uniform"):
         draws = rng.KeyDraws(draws)
     gate = draws.uniform(())
-    return migrate(draws, theta, weight, n_groups, fire=gate <= alpha)
+    return jax.lax.cond(
+        gate <= alpha,
+        lambda t, w: migrate(draws, t, w, n_groups),
+        lambda t, w: (t, w),
+        theta, weight)

@@ -66,6 +66,14 @@ class Pool:
     buffer for the whole step (single fused threefry) and derives every
     uniform / gumbel / normal / randint from static slices of it.
 
+    The buffer is laid out ``[n_rows, words_per_row]`` with rows = the
+    GROUP axis, so under a ``chains`` device mesh the generation itself
+    shards (a flat buffer would be computed replicated on every device —
+    observed to destroy weak scaling).  Group-shaped draws (leading or
+    second axis == n_rows) consume row-local columns; scalar/global draws
+    delegate to a per-call key side-channel (they must be identical on
+    every device and are O(1) per step).
+
     Consumption order is part of the program (static shapes ⇒ static
     offsets), so same key ⇒ bit-identical chains, as with per-call keys.
 
@@ -77,19 +85,42 @@ class Pool:
       relative bias otherwise (n is never > a few thousand here).
     """
 
-    def __init__(self, key, n_words: int):
-        self.bits = jax.random.bits(key, (int(n_words),), jnp.uint32)
+    def __init__(self, key, n_rows: int, words_per_row: int):
+        self.n_rows = int(n_rows)
+        self.bits = jax.random.bits(
+            jax.random.fold_in(key, 0),
+            (self.n_rows, int(words_per_row)), jnp.uint32)
+        self.scalars = KeyDraws(jax.random.fold_in(key, 1))
         self.offset = 0
 
+    def _row_words(self, shape):
+        """(cols, reshape_fn) for a group-shaped request, or None."""
+        if shape and shape[0] == self.n_rows:
+            k = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+            return k, lambda w: w.reshape(shape)
+        if len(shape) >= 2 and shape[1] == self.n_rows:
+            n, rest = shape[0], shape[2:]
+            k = n * (int(np.prod(rest)) if rest else 1)
+            return k, lambda w: jnp.moveaxis(
+                w.reshape((self.n_rows, n) + tuple(rest)), 1, 0)
+        return None
+
     def _take(self, shape):
-        n = int(np.prod(shape)) if shape else 1
-        if self.offset + n > self.bits.shape[0]:
+        rw = self._row_words(tuple(shape))
+        if rw is None:
+            raise ValueError(
+                f"pool draw shape {shape} has no row (group) axis of size "
+                f"{self.n_rows}; use the scalar side-channel")
+        k, reshape = rw
+        if self.offset + k > self.bits.shape[1]:
             raise ValueError("random pool exhausted; size it to the step")
-        w = jax.lax.dynamic_slice_in_dim(self.bits, self.offset, n)
-        self.offset += n
-        return w.reshape(shape)
+        w = jax.lax.dynamic_slice_in_dim(self.bits, self.offset, k, axis=1)
+        self.offset += k
+        return reshape(w)
 
     def uniform(self, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
+        if self._row_words(tuple(shape)) is None:
+            return self.scalars.uniform(shape, lo, hi, dtype)
         scale = np.asarray(2.0 ** -24, dtype)
         u = (self._take(shape) >> 8).astype(dtype) * scale
         if lo == 0.0 and hi == 1.0:
@@ -97,17 +128,23 @@ class Pool:
         return lo + (hi - lo) * u
 
     def gumbel(self, shape=(), dtype=jnp.float32):
+        if self._row_words(tuple(shape)) is None:
+            return self.scalars.gumbel(shape, dtype)
         u = self.uniform(shape, dtype=dtype)
         tiny = jnp.finfo(dtype).tiny
         return -jnp.log(-jnp.log(jnp.maximum(u, tiny)))
 
     def normal(self, shape=(), dtype=jnp.float32):
+        if self._row_words(tuple(shape)) is None:
+            return self.scalars.normal(shape, dtype)
         u1 = jnp.maximum(self.uniform(shape, dtype=dtype),
                          jnp.finfo(dtype).tiny)
         u2 = self.uniform(shape, dtype=dtype)
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
 
     def randint(self, shape, lo: int, hi: int):
+        if self._row_words(tuple(shape)) is None:
+            return self.scalars.randint(shape, lo, hi)
         span = jnp.uint32(hi - lo)
         return (self._take(shape) % span).astype(jnp.int32) + lo
 
@@ -118,35 +155,42 @@ class Pool:
 class CountingDraws:
     """Shape-faithful stand-in used to SIZE a :class:`Pool`: run the step
     body once under ``jax.eval_shape`` with this source and ``.words``
-    tallies exactly what the real pool will consume (same per-method word
-    accounting as Pool — normal costs 2 words/element via Box-Muller).
+    tallies the per-row column consumption exactly as the real pool will
+    (normal costs 2 words/element via Box-Muller; scalar/global draws go
+    to the key side-channel and consume no pool words).
     """
 
-    def __init__(self):
-        self.words = 0
+    def __init__(self, n_rows: int):
+        self.n_rows = int(n_rows)
+        self.words = 0         # columns (words per row)
 
-    def _n(self, shape):
-        n = int(np.prod(shape)) if shape else 1
-        return n
+    def _row_cols(self, shape):
+        shape = tuple(shape)
+        if shape and shape[0] == self.n_rows:
+            return int(np.prod(shape[1:])) if len(shape) > 1 else 1
+        if len(shape) >= 2 and shape[1] == self.n_rows:
+            rest = shape[2:]
+            return shape[0] * (int(np.prod(rest)) if rest else 1)
+        return 0               # scalar side-channel
 
     def uniform(self, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
-        self.words += self._n(shape)
+        self.words += self._row_cols(shape)
         return jnp.zeros(shape, dtype) + lo
 
     def gumbel(self, shape=(), dtype=jnp.float32):
-        self.words += self._n(shape)
+        self.words += self._row_cols(shape)
         return jnp.zeros(shape, dtype)
 
     def normal(self, shape=(), dtype=jnp.float32):
-        self.words += 2 * self._n(shape)
+        self.words += 2 * self._row_cols(shape)
         return jnp.zeros(shape, dtype)
 
     def randint(self, shape, lo, hi):
-        self.words += self._n(shape)
+        self.words += self._row_cols(shape)
         return jnp.zeros(shape, jnp.int32) + lo
 
     def bernoulli(self, shape, p):
-        self.words += self._n(shape)
+        self.words += self._row_cols(shape)
         return jnp.zeros(shape, bool)
 
 

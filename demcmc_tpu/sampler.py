@@ -179,7 +179,7 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
         return jax.lax.cond(flag, blocked, plain, theta, weight)
 
     # ---- pool sizing: trace the core once with a counting stub ----------
-    counter = rng.CountingDraws()
+    counter = rng.CountingDraws(G)
     dtype = jnp.dtype(de.dtype)
     hist_spec = (None if not de.uses_resample else
                  jax.ShapeDtypeStruct((1, de.n_chains, d), dtype))
@@ -198,7 +198,7 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
     def step(state: SamplerState, _=None):
         it = state.iteration
         kit = jax.random.fold_in(state.key, it)
-        draws = rng.Pool(kit, pool_words)
+        draws = rng.Pool(kit, G, pool_words)
         theta, weight, acc = step_core(draws, state.theta, state.weight,
                                        it, state.history, kit)
 

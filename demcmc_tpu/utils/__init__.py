@@ -1,4 +1,4 @@
-from . import checkpoint, dists
+from . import checkpoint, dists, profiling
 from .pytree import as_union, ravel_params
 
-__all__ = ["checkpoint", "dists", "as_union", "ravel_params"]
+__all__ = ["checkpoint", "dists", "profiling", "as_union", "ravel_params"]
