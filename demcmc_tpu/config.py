@@ -28,8 +28,8 @@ Strategy slots (function-valued, swappable like the reference's
 from __future__ import annotations
 
 import warnings
-from dataclasses import dataclass, field, replace
-from typing import Any, Callable, Optional, Sequence, Tuple
+from dataclasses import dataclass, replace
+from typing import Any, Callable
 
 import numpy as np
 

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from ..config import DE
 from ..model import DEModel
-from ..utils import dists
 from ..utils.kde import epanechnikov_logpdf
 from .gaussian import BOUNDS, NAMES, prior_loglike, sample_prior
 

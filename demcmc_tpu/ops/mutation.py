@@ -10,7 +10,6 @@ replicates that.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from .. import rng
 

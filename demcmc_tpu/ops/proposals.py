@@ -27,7 +27,7 @@ Semantic deltas vs the reference (see SURVEY.md §3.5), both MCMC-valid:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,13 +10,11 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import numpy as np
 
 from .config import DE, MCMCThreads
 from .model import DEModel
-from .ops import accept as accept_ops
-from .sampler import (SamplerState, _grow_history, _shard_state, build_step,
+from .sampler import (_grow_history, _shard_state, build_step,
                       init_state, make_spec, run_scan)
 
 

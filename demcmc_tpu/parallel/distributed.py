@@ -28,7 +28,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from .mesh import chain_mesh
 

@@ -79,8 +79,6 @@ def sample_truncated_normal(key, mu, sigma, lo, hi, shape=()):
     u = jax.random.uniform(key, shape)
     a = jss.norm.cdf((lo - mu) / sigma)
     b = jss.norm.cdf((hi - mu) / sigma)
-    from scipy.special import ndtri  # host-side constants only
-    import numpy as np
     # traced-safe inverse normal CDF via erfinv
     z = jnp.sqrt(2.0) * jax.lax.erf_inv(2.0 * (a + u * (b - a)) - 1.0)
     return mu + sigma * z
