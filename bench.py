@@ -70,6 +70,11 @@ def main():
                              burnin=100)
     lba_tp = bench_model(model_l, de_l)
 
+    # north-star check: >= 10^4 chains stepped in parallel
+    model_16k, de_16k = gaussian.make(key=0, n_obs=50, n_groups=1024,
+                                      Np=16, burnin=100)
+    gauss_16k = bench_model(model_16k, de_16k)
+
     value = float(np.sqrt(gauss * lba_tp))
     baseline = float(np.sqrt(BASE_GAUSSIAN * BASE_LBA))
     print(json.dumps({
@@ -79,6 +84,7 @@ def main():
         "vs_baseline": round(value / baseline, 3),
         "gaussian_chain_steps_per_s": round(gauss, 1),
         "lba_chain_steps_per_s": round(lba_tp, 1),
+        "gaussian_16384_chains_steps_per_s": round(gauss_16k, 1),
         "n_chains": N_CHAINS,
         "device": str(jax.devices()[0].platform),
     }))
