@@ -75,6 +75,19 @@ def main():
                                       Np=16, burnin=100)
     gauss_16k = bench_model(model_16k, de_16k)
 
+    # ESS/s: posterior-quality throughput (BASELINE.json metric).  Timed
+    # sampling run including trajectory output, bulk-ESS of mu over all
+    # chains divided by wall time.
+    import demcmc_tpu as dm
+    model_e, de_e = gaussian.make(key=0, n_obs=50, n_groups=G, Np=Np,
+                                  burnin=200)
+    dm.sample(model_e, de_e, 400, key=0)        # warm the compile caches
+    t0 = time.perf_counter()
+    chains = dm.sample(model_e, de_e, 1200, key=1)
+    dt_e = time.perf_counter() - t0
+    ess_mu = chains.ess("mu")
+    ess_per_s = ess_mu / dt_e
+
     value = float(np.sqrt(gauss * lba_tp))
     baseline = float(np.sqrt(BASE_GAUSSIAN * BASE_LBA))
     print(json.dumps({
@@ -85,6 +98,7 @@ def main():
         "gaussian_chain_steps_per_s": round(gauss, 1),
         "lba_chain_steps_per_s": round(lba_tp, 1),
         "gaussian_16384_chains_steps_per_s": round(gauss_16k, 1),
+        "gaussian_ess_per_s": round(float(ess_per_s), 1),
         "n_chains": N_CHAINS,
         "device": str(jax.devices()[0].platform),
     }))
