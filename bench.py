@@ -31,7 +31,7 @@ BASE_GAUSSIAN = 1.0e6   # est. reference chain-steps/s (see module docstring)
 BASE_LBA = 2.0e5
 
 
-def bench_model(model, de, n_iter=500):
+def bench_model(model, de, n_iter=2000):
     from demcmc_tpu.sampler import build_step, init_state, make_spec
 
     spec = make_spec(model, de)
