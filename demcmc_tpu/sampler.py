@@ -286,10 +286,28 @@ def _shard_state(state: SamplerState, mesh):
 
 def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
              checkpoint_every: int = 0, checkpoint_path: str = None,
-             progress_chunks: int = 20):
+             progress_chunks: int = 20, thin: int = 1):
     """Run ``n_iter`` steps of the jitted scan, optionally chunked for
     progress display (the reference's ProgressMeter, ``src/main.jl:30,37``)
-    and periodic checkpointing of the carry."""
+    and periodic checkpointing of the carry.
+
+    ``thin > 1`` emits every ``thin``-th iteration: the inner iterations
+    run carry-only (no trajectory stacking), cutting the scan-output HBM
+    footprint and device→host transfer by the same factor.  ``n_iter``
+    must be divisible by ``thin``.
+    """
+    if thin > 1:
+        if n_iter % thin:
+            raise ValueError(f"n_iter ({n_iter}) must be divisible by "
+                             f"thin ({thin})")
+        inner = step
+
+        def step(s, _=None):
+            s, _ = jax.lax.scan(lambda c, x: (inner(c)[0], None), s, None,
+                                length=thin - 1)
+            return inner(s)
+
+        n_iter = n_iter // thin
 
     @jax.jit
     def chunk_scan(s, n_steps_dummy):
@@ -327,7 +345,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
 def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
            mesh=None, checkpoint_every: int = 0, checkpoint_path: str = None,
            return_state: bool = False, state: SamplerState = None,
-           **kwargs):
+           thin: int = 1, **kwargs):
     """Sample from the posterior (reference ``sample``,
     ``src/main.jl:19-42``).
 
@@ -339,7 +357,9 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     Parameters beyond the reference: ``key`` (int seed or PRNG key — JAX has
     no global RNG), ``mesh`` (a 1-axis ``jax.sharding.Mesh`` to shard groups
     over devices), ``checkpoint_every/checkpoint_path`` (periodic carry
-    snapshots), ``state`` (resume from a saved carry), ``return_state``.
+    snapshots), ``state`` (resume from a saved carry), ``return_state``,
+    ``thin`` (keep every thin-th draw; ``n_iter`` and ``burnin`` must be
+    divisible by it).
 
     Returns a :class:`demcmc_tpu.Chains` (the MCMCChains.Chains analogue).
     """
@@ -355,12 +375,15 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
         state = _grow_history(state, n_iter)
     state = _shard_state(state, mesh)
 
+    if thin > 1 and de.discard_burnin and de.burnin % thin:
+        raise ValueError(f"burnin ({de.burnin}) must be divisible by "
+                         f"thin ({thin})")
     step = build_step(model, de, spec)
     state, ys = run_scan(step, state, n_iter, progress=progress,
                          checkpoint_every=checkpoint_every,
-                         checkpoint_path=checkpoint_path)
+                         checkpoint_path=checkpoint_path, thin=thin)
 
-    chains = bundle_samples(model, de, spec, ys, n_iter)
+    chains = bundle_samples(model, de, spec, ys, n_iter, thin=thin)
     if return_state:
         return chains, state
     return chains
@@ -374,7 +397,7 @@ def make_spec(model: DEModel, de: DE) -> ParamSpec:
 
 
 def bundle_samples(model: DEModel, de: DE, spec: ParamSpec, ys: StepOutput,
-                   n_iter: int) -> Chains:
+                   n_iter: int, thin: int = 1) -> Chains:
     """Convert scan outputs to a Chains object (reference ``bundle_samples``,
     ``src/main.jl:222-250``): keep ``n_iter - burnin`` draws when
     ``discard_burnin``, with per-chain ``acceptance`` and ``lp`` internals.
@@ -388,6 +411,7 @@ def bundle_samples(model: DEModel, de: DE, spec: ParamSpec, ys: StepOutput,
     if offset >= n_iter and de.discard_burnin:
         raise ValueError(f"burnin ({de.burnin}) >= n_iter ({n_iter}); "
                          "nothing left to return")
+    offset //= thin
     theta = np.asarray(ys.theta)[offset:]        # [Ns, C, d]
     acc = np.asarray(ys.accept)[offset:]
     lp = np.asarray(ys.lp)[offset:]
