@@ -70,7 +70,8 @@ def optimize(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     state = _shard_state(state, mesh)
 
     step = build_step(model, de, spec)
-    state, _ = run_scan(step, state, n_iter, progress=progress)
+    state, _ = run_scan(step, state, n_iter, progress=progress,
+                        collect=False)
 
     C, d = de.n_chains, spec.dim
     return Population(theta=np.asarray(state.theta).reshape(C, d),

@@ -286,7 +286,8 @@ def _shard_state(state: SamplerState, mesh):
 
 def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
              checkpoint_every: int = 0, checkpoint_path: str = None,
-             progress_chunks: int = 20, thin: int = 1):
+             progress_chunks: int = 20, thin: int = 1,
+             collect: bool = True):
     """Run ``n_iter`` steps of the jitted scan, optionally chunked for
     progress display (the reference's ProgressMeter, ``src/main.jl:30,37``)
     and periodic checkpointing of the carry.
@@ -294,7 +295,8 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     ``thin > 1`` emits every ``thin``-th iteration: the inner iterations
     run carry-only (no trajectory stacking), cutting the scan-output HBM
     footprint and device→host transfer by the same factor.  ``n_iter``
-    must be divisible by ``thin``.
+    must be divisible by ``thin``.  ``collect=False`` stores no
+    trajectory at all (optimization mode) and returns ``ys=None``.
     """
     if thin > 1:
         if n_iter % thin:
@@ -308,6 +310,12 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
             return inner(s)
 
         n_iter = n_iter // thin
+
+    if not collect:
+        inner_step = step
+
+        def step(s, _=None):
+            return inner_step(s)[0], None
 
     @jax.jit
     def chunk_scan(s, n_steps_dummy):
@@ -327,7 +335,8 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     while done < n_iter:
         n = min(chunk, n_iter - done)
         state, ys = run_chunk(state, n)
-        outs.append(jax.device_get(ys))
+        if collect:
+            outs.append(jax.device_get(ys))
         done += n
         if progress:
             print(f"\r[demcmc_tpu] {done}/{n_iter} iterations", end="",
@@ -338,6 +347,8 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
             save_state(checkpoint_path, state)
     if progress:
         print()
+    if not collect:
+        return state, None
     ys = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
     return state, StepOutput(*ys)
 
