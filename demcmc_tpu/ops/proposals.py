@@ -53,6 +53,12 @@ class ProposalContext:
     def dim(self) -> int:
         return self.theta.shape[-1]
 
+    def next_key(self):
+        """A fresh PRNG key for custom strategy code — distinct per call
+        within the step (derived by a trace-time counter from ``key``)."""
+        self._key_count = getattr(self, "_key_count", 0) + 1
+        return jax.random.fold_in(self.key, self._key_count)
+
     def partner_indices_or_values(self, n: int, exclude_self: bool):
         """Either ``('idx', [n, G, Np] indices)`` into the current
         population (sample_current — lets the caller fuse gathers) or
@@ -64,7 +70,7 @@ class ProposalContext:
                                             exclude_self)
         if slot is resample:
             return "val", resample(self, None, n, exclude_self)
-        return "val", slot(self, self.key, n, exclude_self)
+        return "val", slot(self, self.next_key(), n, exclude_self)
 
     def partners(self, n: int, exclude_self: bool):
         """``n`` partner populations ``[n, G, Np, d]`` via the ``sample``
