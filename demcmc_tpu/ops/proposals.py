@@ -48,6 +48,8 @@ class ProposalContext:
     history: Optional[jnp.ndarray]  # [H, C, d] past states ('resample' mode)
     draws: Any = None            # rng.Pool / rng.KeyDraws random source
     key: Any = None              # PRNG key for CUSTOM strategy callables
+    _key_count: int = 0          # next_key() counter (field so that
+                                 # dataclasses.replace preserves it)
 
     @property
     def dim(self) -> int:
@@ -56,7 +58,11 @@ class ProposalContext:
     def next_key(self):
         """A fresh PRNG key for custom strategy code — distinct per call
         within the step (derived by a trace-time counter from ``key``)."""
-        self._key_count = getattr(self, "_key_count", 0) + 1
+        if self.key is None:
+            raise ValueError(
+                "ProposalContext.key is not set — custom strategy slots "
+                "need a PRNG key; construct the context with key=...")
+        self._key_count += 1
         return jax.random.fold_in(self.key, self._key_count)
 
     def partner_indices_or_values(self, n: int, exclude_self: bool):

@@ -113,8 +113,9 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
             iteration=iteration, history=history, draws=draws,
             key=k_custom)
 
-        # --- crossover branch -------------------------------------------
-        cross = de.generate_proposal(ctx, k_custom)
+        # --- crossover branch (custom proposals draw via ctx.next_key()
+        # so their keys never collide with other custom slots') ----------
+        cross = de.generate_proposal(ctx, ctx.next_key())
         log_adj = jnp.zeros((G, Np), theta.dtype)
         if de.uses_snooker:
             sn_gate = draws.uniform((G, Np)) <= de.theta_snooker
