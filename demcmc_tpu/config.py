@@ -93,6 +93,9 @@ class DE:
         if self.uses_resample and self.Np < 3:
             raise ValueError("Np must be >= 3 when sample=resample")
         if self.blocks is not None:
+            if len(self.blocks) == 0:
+                raise ValueError("blocks must be a non-empty list of "
+                                 "parameter masks (or None)")
             object.__setattr__(self, "blocks", tuple(
                 tuple(np.asarray(b, dtype=object) for b in blk)
                 if isinstance(blk, (list, tuple)) else blk

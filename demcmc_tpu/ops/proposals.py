@@ -26,7 +26,7 @@ Semantic deltas vs the reference (see SURVEY.md §3.5), both MCMC-valid:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Optional
 
 import jax
@@ -48,8 +48,10 @@ class ProposalContext:
     history: Optional[jnp.ndarray]  # [H, C, d] past states ('resample' mode)
     draws: Any = None            # rng.Pool / rng.KeyDraws random source
     key: Any = None              # PRNG key for CUSTOM strategy callables
-    _key_count: int = 0          # next_key() counter (field so that
-                                 # dataclasses.replace preserves it)
+    # next_key() counter in a shared one-element list: dataclasses.replace
+    # copies the REFERENCE, so counts survive context copies (_with_draws)
+    # and increments write back to every copy.
+    _key_count: list = field(default_factory=lambda: [0])
 
     @property
     def dim(self) -> int:
@@ -57,13 +59,16 @@ class ProposalContext:
 
     def next_key(self):
         """A fresh PRNG key for custom strategy code — distinct per call
-        within the step (derived by a trace-time counter from ``key``)."""
+        within the step (derived by a trace-time counter from ``key``),
+        on a tagged subkey stream so it never aliases ``KeyDraws(key)``'s
+        ``fold_in(key, i)`` draws."""
         if self.key is None:
             raise ValueError(
                 "ProposalContext.key is not set — custom strategy slots "
                 "need a PRNG key; construct the context with key=...")
-        self._key_count += 1
-        return jax.random.fold_in(self.key, self._key_count)
+        self._key_count[0] += 1
+        return jax.random.fold_in(
+            jax.random.fold_in(self.key, rng.NEXT_KEY), self._key_count[0])
 
     def partner_indices_or_values(self, n: int, exclude_self: bool):
         """Either ``('idx', [n, G, Np] indices)`` into the current

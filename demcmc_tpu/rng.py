@@ -37,6 +37,7 @@ ACCEPT = 16
 INIT_THETA = 17
 BLOCK = 18
 CUSTOM = 19
+NEXT_KEY = 20   # ProposalContext.next_key substream (never aliases KeyDraws)
 
 
 def key_for(base_key: jax.Array, iteration, tag: int) -> jax.Array:

@@ -92,3 +92,50 @@ def test_traced_blocking_on():
     truth = _truth(model)
     assert abs(chains.mean("mu") - truth["mu"]["mean"]) < 0.06
     assert abs(chains.mean("sigma") - truth["sigma"]["mean"]) < 0.08
+
+
+def test_next_key_distinct_across_context_copies():
+    """Counter must survive dataclasses.replace copies (shared holder) so
+    successive strategy calls never reuse a key."""
+    from dataclasses import replace
+    ctx = prop_ops.ProposalContext(
+        de=None, spec=None, theta=jnp.zeros((1, 4, 2)),
+        weight=jnp.zeros((1, 4)), iteration=jnp.asarray(1), history=None,
+        key=jax.random.PRNGKey(0))
+    k1 = ctx.next_key()
+    copy = replace(ctx, theta=jnp.ones((1, 4, 2)))
+    k2 = copy.next_key()
+    k3 = ctx.next_key()
+    ks = [np.asarray(k) for k in (k1, k2, k3)]
+    assert not np.array_equal(ks[0], ks[1])
+    assert not np.array_equal(ks[1], ks[2])
+    assert not np.array_equal(ks[0], ks[2])
+
+
+def test_next_key_does_not_alias_keydraws():
+    from demcmc_tpu import rng as _rng
+    key = jax.random.PRNGKey(7)
+    ctx = prop_ops.ProposalContext(
+        de=None, spec=None, theta=jnp.zeros((1, 4, 2)),
+        weight=jnp.zeros((1, 4)), iteration=jnp.asarray(1), history=None,
+        key=key)
+    kd = _rng.KeyDraws(key)
+    kd_keys = [np.asarray(kd._next()) for _ in range(4)]
+    for _ in range(4):
+        nk = np.asarray(ctx.next_key())
+        assert not any(np.array_equal(nk, k) for k in kd_keys)
+
+
+def test_next_key_without_key_raises():
+    import pytest as _pytest
+    ctx = prop_ops.ProposalContext(
+        de=None, spec=None, theta=jnp.zeros((1, 4, 2)),
+        weight=jnp.zeros((1, 4)), iteration=jnp.asarray(1), history=None)
+    with _pytest.raises(ValueError):
+        ctx.next_key()
+
+
+def test_empty_blocks_rejected():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dm.DE(Np=4, blocks=[])
