@@ -10,6 +10,10 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+import jax
+
+jax.config.update("jax_enable_x64", True)   # Rastrigin to 1e-8 needs f64
+
 import jax.numpy as jnp
 
 import demcmc_tpu as dm
