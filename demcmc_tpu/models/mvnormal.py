@@ -41,7 +41,7 @@ def make(d=30, n_obs=100, key=0, data=None, **de_kwargs):
 
     model = DEModel(loglike=loglike, prior_loglike=prior_loglike,
                     sample_prior=sample_prior, names=NAMES, data=data)
-    kw = dict(bounds=BOUNDS, Np=3, n_groups=1, theta_snooker=0.1,
+    kw = dict(bounds=BOUNDS, Np=3, n_groups=1, alpha=0.0, theta_snooker=0.1,
               sample="resample", n_initial=(d + 1) * 4, burnin=1000)
     kw.update(de_kwargs)
     de = DE(**kw)
