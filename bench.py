@@ -41,7 +41,7 @@ def bench_model(model, de, n_iter=2000):
     @jax.jit
     def run(s, dummy):
         s, ys = jax.lax.scan(lambda c, _: (step(c)[0], None), s, None,
-                             length=dummy.shape[0])
+                             length=dummy.shape[0], unroll=2)
         return s
 
     # warmup with the SAME scan length so the timed call hits the cache
