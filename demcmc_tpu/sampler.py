@@ -86,6 +86,11 @@ def flatten_block(spec: ParamSpec, block) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def _spec_key(spec: ParamSpec):
+    return (spec.names, spec.shapes, spec.is_int,
+            spec.lo.tobytes(), spec.hi.tobytes())
+
+
 def build_step(model: DEModel, de: DE, spec: ParamSpec):
     """Build the fused one-iteration step function (pure, jittable).
 
@@ -94,7 +99,27 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
     step body with a :class:`rng.CountingDraws` stub under ``eval_shape``)
     — per-call ``jax.random`` kernels were the dominant per-iteration cost
     at small populations.
+
+    The built step is cached on the model per (de, spec): repeated
+    ``sample``/``optimize`` calls with the same configuration reuse one
+    function object, so the driver's jitted scans hit the compile cache
+    instead of recompiling every call.
     """
+    try:
+        cache = model.__dict__.setdefault("_step_cache", {})
+        cache_key = (de, _spec_key(spec))
+        hash(cache_key)
+    except TypeError:
+        cache, cache_key = None, None
+    if cache is not None and cache_key in cache:
+        return cache[cache_key]
+    step = _build_step_uncached(model, de, spec)
+    if cache is not None:
+        cache[cache_key] = step
+    return step
+
+
+def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
     G, Np, d = de.n_groups, de.Np, spec.dim
     fitness = accept_ops.make_fitness(model, spec, de)
     update_fn = accept_ops.make_update(de)
@@ -299,6 +324,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     must be divisible by ``thin``.  ``collect=False`` stores no
     trajectory at all (optimization mode) and returns ``ys=None``.
     """
+    base_step = step
     if thin > 1:
         if n_iter % thin:
             raise ValueError(f"n_iter ({n_iter}) must be divisible by "
@@ -318,12 +344,31 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
         def step(s, _=None):
             return inner_step(s)[0], None
 
-    @jax.jit
-    def chunk_scan(s, n_steps_dummy):
-        # unroll: fuses elementwise chains across iterations and amortizes
-        # while-loop bookkeeping (measured best at 2 on a v5e for both light and heavy likelihoods)
-        return jax.lax.scan(step, s, None, length=n_steps_dummy.shape[0],
-                            unroll=min(unroll, n_steps_dummy.shape[0]))
+    # The jitted scan is memoized on the ORIGINAL step function (a stable
+    # object thanks to build_step's cache), so repeated sample()/optimize()
+    # calls with the same configuration share one jit cache entry instead
+    # of retracing and recompiling every call.
+    jit_cache = getattr(base_step, "_scan_jit_cache", None)
+    if jit_cache is None:
+        jit_cache = {}
+        try:
+            base_step._scan_jit_cache = jit_cache
+        except AttributeError:
+            pass
+    variant = (thin, collect, unroll)
+    chunk_scan = jit_cache.get(variant)
+    if chunk_scan is None:
+        scan_step = step
+
+        @jax.jit
+        def chunk_scan(s, n_steps_dummy):
+            # unroll: fuses elementwise chains across iterations and
+            # amortizes while-loop bookkeeping (measured best at 2 on a
+            # v5e for both light and heavy likelihoods)
+            return jax.lax.scan(scan_step, s, None,
+                                length=n_steps_dummy.shape[0],
+                                unroll=min(unroll, n_steps_dummy.shape[0]))
+        jit_cache[variant] = chunk_scan
 
     def run_chunk(s, n):
         return chunk_scan(s, jnp.zeros((n,), jnp.int8))
