@@ -96,3 +96,53 @@ def test_split_rhat_hand_value():
     b = n * s.mean(axis=0).var(ddof=1)
     expected = np.sqrt(((n - 1) / n * w + b / n) / w)
     np.testing.assert_allclose(dg.split_rhat(x), expected, rtol=1e-12)
+
+
+def test_autocov_fft_matches_naive():
+    """The FFT autocovariance must equal the direct O(n^2) sum."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((64, 3))
+    acov = dg._autocov_fft(x)
+    xc = x - x.mean(axis=0, keepdims=True)
+    n = x.shape[0]
+    naive = np.stack([
+        [np.sum(xc[:n - t, m] * xc[t:, m]) / n for m in range(3)]
+        for t in range(n)])
+    np.testing.assert_allclose(acov, naive, atol=1e-10)
+
+
+def test_ess_matches_naive_geyer():
+    """End-to-end bulk-style ESS vs an independent direct implementation
+    of split chains + Geyer initial monotone positive sequence."""
+    rng = np.random.default_rng(7)
+    n, c, rho = 1000, 4, 0.6
+    x = np.zeros((n, c))
+    eps = rng.standard_normal((n, c)) * np.sqrt(1 - rho ** 2)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + eps[t]
+
+    # independent implementation
+    s = np.concatenate([x[:n // 2], x[n // 2:]], axis=1)   # split
+    ns, m = s.shape
+    chain_vars = s.var(axis=0, ddof=1)
+    w = chain_vars.mean()
+    b = ns * s.mean(axis=0).var(ddof=1)
+    var_plus = (ns - 1) / ns * w + b / ns
+    xc = s - s.mean(axis=0, keepdims=True)
+    acov = np.stack([
+        [np.sum(xc[:ns - t, j] * xc[t:, j]) / ns for j in range(m)]
+        for t in range(ns)])
+    rho_t = 1.0 - (w - acov.mean(axis=1)) / var_plus
+    max_t = (ns - 2) if (ns - 2) % 2 == 0 else (ns - 3)
+    pairs = rho_t[:max_t + 2].reshape(-1, 2).sum(axis=1)
+    k = len(pairs)
+    for i, p in enumerate(pairs):
+        if p <= 0:
+            k = i
+            break
+    pairs = np.minimum.accumulate(pairs[:k])
+    tau = -1.0 + 2.0 * pairs.sum()
+    tau = max(tau, 1.0 / np.log10(ns * m + 10))
+    expected = ns * m / tau
+
+    np.testing.assert_allclose(dg.ess(x), expected, rtol=1e-10)
