@@ -93,3 +93,22 @@ def test_summary_renders():
     chains = dm.sample(model, de, 150, key=0)
     s = chains.summary()
     assert "theta" in s and "rhat" in s
+
+
+def test_build_step_and_scan_caching():
+    """Repeated sampling with the same (model, de) must reuse one step
+    function and one jitted scan (no per-call recompiles)."""
+    from demcmc_tpu.sampler import build_step, make_spec
+
+    model, de = binomial.make(N=10, k=5, burnin=10)
+    spec = make_spec(model, de)
+    s1 = build_step(model, de, spec)
+    s2 = build_step(model, de, spec)
+    assert s1 is s2
+    dm.sample(model, de, 60, key=0)
+    dm.sample(model, de, 60, key=1)
+    cache = getattr(s1, "_scan_jit_cache", {})
+    assert (1, True, 2) in cache       # (thin, collect, unroll)
+    # a different DE config builds a distinct step
+    s3 = build_step(model, de.replace(burnin=20), spec)
+    assert s3 is not s1
