@@ -79,3 +79,51 @@ def test_as_union_identity():
     out = as_union(p)
     assert out[0] == 1.0
     assert out[1] is p[1]
+
+
+def test_zero_arg_sample_prior_host_style():
+    """Reference-style zero-arg sample_prior() (numpy RNG) is accepted and
+    used host-side at init."""
+    import demcmc_tpu as dm
+
+    rng_host = np.random.default_rng(0)
+
+    def sample_prior():
+        return [rng_host.normal(), abs(rng_host.normal()) + 0.1]
+
+    def loglike(data, mu, sigma):
+        return jnp.sum(-0.5 * ((data - mu) / sigma) ** 2
+                       - jnp.log(sigma))
+
+    model = dm.DEModel(loglike=loglike, prior_loglike=lambda m, s: 0.0,
+                       sample_prior=sample_prior, names=("mu", "sigma"),
+                       data=jnp.zeros(10))
+    de = dm.DE(bounds=((-np.inf, np.inf), (1e-6, np.inf)), Np=4,
+               burnin=10, discard_burnin=False)
+    chains = dm.sample(model, de, 50, key=0)
+    assert len(chains) == 50
+    assert np.isfinite(chains.lp).all()
+
+
+def test_model_args_kwargs_passthrough():
+    """data/args/kwargs close over loglike like the reference ctor."""
+    import demcmc_tpu as dm
+
+    seen = {}
+
+    def loglike(data, scale, mu, *, offset=0.0):
+        seen["ok"] = True
+        return -jnp.sum((data * scale - mu - offset) ** 2)
+
+    model = dm.DEModel(
+        loglike=loglike, prior_loglike=lambda mu: 0.0,
+        sample_prior=lambda k: [jax.random.normal(k)], names=("mu",),
+        data=jnp.ones(5), args=(2.0,), kwargs={"offset": 1.0})
+    de = dm.DE(Np=4, burnin=5, discard_burnin=False)
+    chains = dm.sample(model, de, 30, key=0)
+    assert seen.get("ok")
+    # posterior concentrates at mu = data*scale - offset = 1
+    assert abs(chains.data[-10:].mean() - 1.0) < 0.5
+
+
+import jax  # noqa: E402
