@@ -41,8 +41,17 @@ def migrate(draws, theta, weight, n_groups: int, fire=True):
     # N ~ U{2..G} participating groups (reference select_groups,
     # src/migration.jl:31-35)
     n_active = draws.randint((), 2, n_groups + 1)
-    # random permutation of groups via argsort of uniforms (one [G] sort)
-    perm = jnp.argsort(draws.uniform((G,)))
+
+    # Random permutation WITHOUT a sort: rank each group by an iid
+    # uniform (ties broken by index — a strict total order, so ranks are
+    # always a permutation).  A TPU argsort lowers to a ~log²G-stage
+    # bitonic network of micro-kernels; this [G, G] comparison + row-sum
+    # is one fused elementwise+reduce.
+    u = draws.uniform((G,))
+    idx = jnp.arange(G)
+    less = ((u[None, :] < u[:, None])
+            | ((u[None, :] == u[:, None]) & (idx[None, :] < idx[:, None])))
+    rank = jnp.sum(less.astype(jnp.int32), axis=1)       # [G] in 0..G-1
 
     # Per-group victim ∝ softmax(-weight) via Gumbel-max (reference
     # select_particle, src/migration.jl:64-70).  -inf weights become +inf
@@ -51,18 +60,13 @@ def migrate(draws, theta, weight, n_groups: int, fire=True):
     gum = draws.gumbel((G, Np))
     pidx = jnp.argmax(-weight + gum, axis=1)             # [G]
 
-    # Everything below is gather/scatter-free: TPU gathers serialize on
-    # the scalar core, so the one-particle-per-group exchange is routed
-    # through one-hot matmuls on the MXU instead.
-    pos = jnp.arange(G)
-    active = (pos < n_active) & fire
-    src_pos = jnp.where(active, (pos - 1) % n_active, pos)
-    oh_dst = jax.nn.one_hot(perm, G, dtype=dt)           # [i, g] dst groups
-    # src group of slot i is perm[src_pos[i]]: one-hot via permutation
-    # matrix product — onehot(perm[j]) rows re-indexed by src_pos.
-    oh_src = jax.nn.one_hot(src_pos, G, dtype=dt) @ oh_dst   # [i, g'] src
-    # route matrix R[g, g'] = 1 iff group g receives group g''s particle
-    route = oh_dst.T @ oh_src                            # [G, G]
+    # Everything below is gather/scatter-free: group g (rank r) receives
+    # the victim of the group ranked (r-1) mod n_active when both are
+    # among the first n_active ranks, else its own (identity).
+    active = (rank < n_active) & fire
+    src_rank = jnp.where(active, (rank - 1) % n_active, rank)
+    # route matrix R[g, h] = 1 iff rank[h] == src_rank[g]
+    route = (rank[None, :] == src_rank[:, None]).astype(dt)   # [G, G]
 
     victim = jax.nn.one_hot(pidx, Np, dtype=dt)          # [G, Np]
     vmask = victim > 0.5
