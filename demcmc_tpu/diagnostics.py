@@ -53,12 +53,16 @@ def split_rhat(x) -> float:
 
 
 def _rank_normalize(x: np.ndarray) -> np.ndarray:
-    """Fractional ranks -> inverse-normal scores (Vehtari et al. eq. 14)."""
+    """Fractional ranks -> inverse-normal scores (Vehtari et al. eq. 14).
+
+    Ties get AVERAGE ranks (the Stan/ArviZ convention): positional
+    tie-breaking would give a constant (stuck) parameter artificial
+    spread and report a pathological run as converged.
+    """
+    from scipy.stats import rankdata
     shape = x.shape
     flat = x.reshape(-1)
-    ranks = np.empty_like(flat)
-    order = np.argsort(flat, kind="stable")
-    ranks[order] = np.arange(1, flat.size + 1)
+    ranks = rankdata(flat, method="average")
     z = ndtri((ranks - 3.0 / 8.0) / (flat.size - 2.0 * 3.0 / 8.0 + 1.0))
     return z.reshape(shape)
 

@@ -30,11 +30,17 @@ def loglike(data, theta):
     return dists.binomial_logpmf(data["k"], data["N"], theta)
 
 
-def loglike_abc(data, theta, *, key=jax.random.PRNGKey(123), n_sim=10_000):
+def loglike_abc(data, theta, *, key=None, n_sim=10_000):
     """ABC likelihood: fraction of n_sim Binomial(N, θ) simulations hitting
     the observed k (reference ``Examples/Binomial_ABC.jl:16-23``).  One
     batched Bernoulli tensor per evaluation — the reference's 10⁴-iteration
-    mapreduce becomes a single [n_sim, N] reduction."""
+    mapreduce becomes a single [n_sim, N] reduction.
+
+    ``key`` defaults lazily (a module-level ``PRNGKey`` default would
+    initialize the XLA backend at package import, breaking multi-host
+    ``jax.distributed.initialize`` and post-import config changes)."""
+    if key is None:
+        key = jax.random.PRNGKey(123)
     draws = jax.random.bernoulli(key, theta, (n_sim, data["N"]))
     counts = jnp.sum(draws, axis=1)
     hit = jnp.mean((counts == data["k"]).astype(jnp.float32))

@@ -30,6 +30,9 @@ def binomial_logpmf_continuous_n(k, N, p):
 
 
 def make(key=0, true_n=10, true_p=0.6, n_obs=50, data=None, **de_kwargs):
+    """Returns ``(model, de)`` like every other zoo model; the generating
+    truth is whatever ``true_n``/``true_p`` you passed (defaults 10, 0.6).
+    """
     if data is None:
         data = jnp.asarray(
             np.random.default_rng(key).binomial(true_n, true_p, size=n_obs))
@@ -51,4 +54,4 @@ def make(key=0, true_n=10, true_p=0.6, n_obs=50, data=None, **de_kwargs):
               dtype=np.float64)
     kw.update(de_kwargs)
     de = DE(**kw)
-    return model, de, true_n, true_p
+    return model, de

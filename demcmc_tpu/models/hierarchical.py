@@ -16,6 +16,14 @@ from ..model import DEModel
 from ..utils import dists
 
 
+def _always_block(de):
+    return True
+
+
+def _never_block(de):
+    return False
+
+
 def make(n_subj=20, n_data=50, key=0, data=None, blocking=True, **de_kwargs):
     names = ("mu_b0", "sigma_b0", "b0", "sigma")
     bounds = ((-jnp.inf, jnp.inf), (0.0, jnp.inf),
@@ -49,16 +57,19 @@ def make(n_subj=20, n_data=50, key=0, data=None, blocking=True, **de_kwargs):
     model = DEModel(loglike=loglike, prior_loglike=prior_loglike,
                     sample_prior=sample_prior, names=names, data=data)
 
-    # hyper block then subject block, like the reference example
+    # hyper block then subject block, like the reference example.
+    # module-level blocking fn (not a fresh lambda per make()): DE hashes
+    # strategy slots by identity, so per-call lambdas would defeat the
+    # compiled-step cache and recompile on every make()+sample()
     blocks = None
-    blocking_on = lambda de: False
+    blocking_on = _never_block
     if blocking:
         import numpy as np
         blocks = [
             [True, True, np.zeros(n_subj, dtype=bool), True],
             [False, False, np.ones(n_subj, dtype=bool), False],
         ]
-        blocking_on = lambda de: True
+        blocking_on = _always_block
 
     kw = dict(bounds=bounds, Np=3, n_groups=2, theta_snooker=0.1,
               sample="resample", n_initial=(n_subj + 1) * 4,

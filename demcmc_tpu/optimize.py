@@ -62,6 +62,14 @@ def optimize(model: DEModel, de: DE, *args, key=0, progress: bool = False,
         raise ValueError(
             "optimize requires update_particle='maximize' or 'minimize' "
             "(and evaluate_fitness='fun'), like the reference")
+    from .ops.accept import compute_posterior
+    if de.is_minimize and de.evaluate_fitness in ("posterior",
+                                                  compute_posterior):
+        raise ValueError(
+            "minimize with the posterior fitness is ill-posed: "
+            "out-of-bounds proposals score -inf and would be 'optimal'. "
+            "Set evaluate_fitness='fun' (objective-only; out-of-bounds "
+            "scores +inf when minimizing)")
 
     spec = make_spec(model, de)
     start = None if de.uses_resample else 1   # reference: de.iter = iter

@@ -42,18 +42,30 @@ def initialize(coordinator_address: Optional[str] = None,
     ``jax.distributed.initialize``.  Safe to call on a single host: if
     no cluster environment is detected and no coordinator is given, this
     is a no-op.
+
+    Must run BEFORE any jax computation or device query — this function
+    deliberately queries nothing itself (even ``jax.process_count()``
+    would initialize the backends and break the cluster attach).
+    Failures are re-raised with a pointer rather than swallowed: a
+    silently-degraded single-host run is the worst outcome on a pod.
     """
     if coordinator_address is None and num_processes is None:
         # Auto-detectable environments: Cloud TPU pods / Slurm / GKE.
         detectable = any(v in os.environ for v in (
             "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID", "SLURM_JOB_ID",
             "JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
-        if not detectable or jax.process_count() > 1:
+        if not detectable:
             return
         try:
             jax.distributed.initialize()
-        except (RuntimeError, ValueError):
-            return
+        except RuntimeError as e:
+            if "already initialized" in str(e).lower():
+                return
+            raise RuntimeError(
+                "jax.distributed.initialize() failed on a detectable "
+                "cluster environment — call demcmc_tpu.parallel."
+                "distributed.initialize() before ANY jax computation "
+                f"or device query. Original error: {e}") from e
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

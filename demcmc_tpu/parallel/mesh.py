@@ -43,11 +43,17 @@ def shard_data(data, mesh: Mesh, axis: int = 0, mesh_axis: str = "data"):
 
     Close the returned array over your ``loglike``; under jit, reductions
     over the sharded axis compile to on-device partial sums + psum over ICI
-    — no host involvement.  Data size along ``axis`` must divide the mesh
-    axis size.
+    — no host involvement.  The mesh axis size must divide the data size
+    along ``axis``.
     """
     if mesh_axis not in mesh.axis_names:
         raise ValueError(f"mesh has no axis {mesh_axis!r}")
+    n_shards = mesh.shape[mesh_axis]
+    size = np.shape(data)[axis]
+    if size % n_shards:
+        raise ValueError(
+            f"data size {size} along axis {axis} is not divisible by the "
+            f"{n_shards}-way {mesh_axis!r} mesh axis")
     ndim = np.ndim(data)
     spec = [None] * ndim
     spec[axis] = mesh_axis

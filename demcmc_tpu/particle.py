@@ -26,6 +26,8 @@ from typing import Any, List
 
 import numpy as np
 
+from .model import _aslist
+
 
 def _draw_like(dist, ref: np.ndarray) -> np.ndarray:
     """Fresh per-element draws from a distribution-like operand."""
@@ -91,8 +93,6 @@ class Particle:
         return self._zip(other, np.add)
 
     def __sub__(self, other):
-        if isinstance(other, Particle):
-            return self._zip(other, np.subtract)
         return self._zip(other, np.subtract)
 
     def __rsub__(self, other):
@@ -122,7 +122,4 @@ class Particle:
                 f"theta={self.theta})")
 
 
-def _aslist(x):
-    if isinstance(x, (list, tuple)):
-        return list(x)
-    return [x]
+

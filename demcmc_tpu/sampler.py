@@ -432,7 +432,10 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     spec = make_spec(model, de)
     if state is None:
         state = init_state(model, de, spec, key)
-        state = _grow_history(state, n_iter)
+    # grow the resample-history buffer for this run's rows — also on
+    # RESUMED states (a checkpointed history only covers past iterations;
+    # without growth, new writes/reads would clamp to the last row)
+    state = _grow_history(state, n_iter)
     state = _shard_state(state, mesh)
 
     if thin > 1 and de.discard_burnin and de.burnin % thin:

@@ -19,7 +19,8 @@ import numpy as np
 import demcmc_tpu as dm
 from demcmc_tpu.models import discrete_binomial
 
-model, de, true_n, true_p = discrete_binomial.make(key=0)
+model, de = discrete_binomial.make(key=0)
+true_n, true_p = 10, 0.6
 chains = dm.sample(model, de, 3000, key=2, progress=True)
 N = chains["N"].astype(int)
 print("N posterior mode:", np.bincount(N.ravel()).argmax(), "truth:", true_n)

@@ -58,3 +58,20 @@ def test_sample_periodic_checkpoint_and_resume(tmp_path):
     # resume API: continue sampling from the loaded carry
     chains = dm.sample(model, de, 50, key=1, state=state)
     assert len(chains) == 50  # discard_burnin=False keeps everything
+
+
+def test_resume_resample_grows_history():
+    """Resuming a resample-mode run must extend the history buffer —
+    without growth, writes/reads clamp to the last row and silently bias
+    DE-MCz partner draws (review finding)."""
+    model, de = mvnormal.make(d=3, n_obs=20, n_initial=8, burnin=5,
+                              discard_burnin=False)
+    c1, s1 = dm.sample(model, de, 40, key=3, return_state=True)
+    H1 = s1.history.shape[0]
+    assert H1 == 8 + 40
+    c2, s2 = dm.sample(model, de, 30, key=3, state=s1, return_state=True)
+    assert s2.history.shape[0] == H1 + 30
+    assert int(s2.iteration) == 8 + 40 + 30 + 1
+    # the newly appended rows were actually written
+    h = np.asarray(s2.history)
+    assert np.any(h[-1] != 0)

@@ -11,21 +11,22 @@ from demcmc_tpu.models import discrete_binomial
 
 
 def test_int_leaf_detected():
-    model, de, *_ = discrete_binomial.make()
+    model, de = discrete_binomial.make()
     spec = dm.make_spec(model, de)
     assert spec.is_int == (True, False)
     np.testing.assert_array_equal(spec.int_mask, [True, False])
 
 
 def test_discrete_chain_values_integral():
-    model, de, *_ = discrete_binomial.make()
+    model, de = discrete_binomial.make()
     chains = dm.sample(model, de, 1500, key=2)
     N = chains["N"]
     np.testing.assert_array_equal(N, np.round(N))
 
 
 def test_discrete_posterior_covers_truth():
-    model, de, true_n, true_p = discrete_binomial.make()
+    model, de = discrete_binomial.make()
+    true_n, true_p = 10, 0.6
     chains = dm.sample(model, de, 3000, key=2)
     n_mode = np.bincount(chains["N"].astype(int).ravel()).argmax()
     assert abs(n_mode - true_n) <= 3
