@@ -8,7 +8,8 @@ it.  Batched over thousands of chains that is a
 ``[chains, n_eval, n_sim]`` elementwise+reduce — pure VPU work whose
 performance is set by how well the reduction tiles onto VMEM.
 
-This kernel fuses, per (chain-block, eval-tile):
+This kernel fuses, per simulation tile (chains batch via vmap; all
+eval points live in one [E, 1] block):
     u = (x - sim) / h;  k = 0.75 (1-u²)·1[|u|≤1];  acc += Σ_sim k
 accumulating over a grid of simulation tiles in a VMEM scratch, writing
 ``log(max(mean/h, floor))`` on the last tile — so the kernel matrix is
@@ -28,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 SIM_TILE = 2048
-EVAL_TILE = 8
+EVAL_TILE = 8      # eval-point padding granularity (sublane multiple)
 
 
 def _kde_kernel(x_ref, sim_ref, h_ref, out_ref, acc_ref, *, n_sim, floor):
@@ -74,7 +75,7 @@ def kde_logpdf_pallas(x, samples, bandwidth=None, floor: float = 1e-10):
     samples = jnp.asarray(samples, jnp.float32)
     n_eval, n_sim = x.shape[0], samples.shape[0]
 
-    E = max(8, -(-n_eval // 8) * 8)
+    E = max(EVAL_TILE, -(-n_eval // EVAL_TILE) * EVAL_TILE)
     T = min(SIM_TILE, max(128, -(-n_sim // 128) * 128))
     S = -(-n_sim // T) * T
     xp = jnp.pad(x, (0, E - n_eval))[:, None]                    # [E, 1]

@@ -188,8 +188,11 @@ def resample(ctx: ProposalContext, key, n: int, exclude_self: bool):
     G, Np = ctx.theta.shape[:2]
     draws = ctx.draws if ctx.draws is not None else rng.KeyDraws(key)
     count = jnp.maximum(ctx.iteration - 1, 1)          # rows available
-    r = draws.randint((n, G, Np), 0, count * C)
-    row, chain = r // C, r % C
+    # row and chain drawn SEPARATELY (identical joint distribution):
+    # a single randint over count*C would overflow int32 past 2^31
+    # (65k chains x 32k iterations) and carry span/2^32 modulo bias
+    row = draws.randint((n, G, Np), 0, count)
+    chain = draws.randint((n, G, Np), 0, C)
     return ctx.history[row, chain]                     # [n, G, Np, d]
 
 

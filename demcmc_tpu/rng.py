@@ -3,10 +3,16 @@
 The reference (DifferentialEvolutionMCMC.jl) uses Julia's sequential global
 RNG, re-seeded per thread-task (``src/main.jl:169-172,193-197``).  That model
 does not survive vectorization or device sharding, so this framework uses
-JAX's counter-based keys exclusively: every random draw inside the sampler
-derives from ``fold_in(base_key, iter)`` folded again with a static purpose
-tag.  Same key => bit-identical chains, independent of device count or
-sharding layout (tested in tests/test_sharding.py).
+JAX's counter-based keys exclusively.  Per iteration, the sampler derives
+one step key ``step_key(base, it)`` from which a single :class:`Pool`
+(fused random-bit buffer) supplies every tensor-shaped draw; scalar/custom
+draws ride tagged subkeys.  Same key => bit-identical chains, independent
+of device count for a fixed layout (tested in tests/test_sharding.py).
+
+Namespace separation: iteration keys and purpose tags live under DISTINCT
+first-level folds (``ITER_NS`` vs ``INIT_NS``/tag constants) — a flat
+``fold_in(base, x)`` namespace would alias iteration x with tag x (e.g.
+iteration 17 with the init-population key).
 """
 
 from __future__ import annotations
@@ -15,34 +21,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Static purpose tags. One tag per distinct random decision inside a step so
-# draws never alias between subsystems.
-MIGRATE_GATE = 0
-MIGRATE_SIZE = 1
-MIGRATE_PERM = 2
-MIGRATE_PICK = 3
-MUTATE_GATE = 4
-MUTATE_NOISE = 5
-SNOOKER_GATE = 6
-SNOOKER_PARTNERS = 7
-SNOOKER_GAMMA = 8
-SNOOKER_NOISE = 9
-CROSS_BASE = 10
-CROSS_PARTNERS = 11
-CROSS_GAMMA1 = 12
-CROSS_GAMMA2 = 13
-CROSS_NOISE = 14
-RECOMBINE = 15
-ACCEPT = 16
-INIT_THETA = 17
-BLOCK = 18
-CUSTOM = 19
-NEXT_KEY = 20   # ProposalContext.next_key substream (never aliases KeyDraws)
+# First-level namespace folds (values chosen far above any tag constant).
+ITER_NS = 0x51e9    # per-iteration step keys
+INIT_NS = 0x1217    # population initialization
+
+# Purpose tags used WITHIN an iteration's step key.
+ACCEPT = 16         # custom update_particle slots
+INIT_THETA = 17     # init_state population draw (under INIT_NS)
+BLOCK = 18          # per-block subkeys in blocked updates
+CUSTOM = 19         # custom strategy-slot key root
+NEXT_KEY = 20       # ProposalContext.next_key substream
 
 
-def key_for(base_key: jax.Array, iteration, tag: int) -> jax.Array:
-    """Key for one purpose at one iteration: fold_in(fold_in(base, iter), tag)."""
-    return jax.random.fold_in(jax.random.fold_in(base_key, iteration), tag)
+def step_key(base_key: jax.Array, iteration) -> jax.Array:
+    """The one key from which iteration ``iteration`` derives all draws."""
+    return jax.random.fold_in(jax.random.fold_in(base_key, ITER_NS),
+                              iteration)
+
+
+def init_key(base_key: jax.Array) -> jax.Array:
+    """Key for the initial population draw (its own namespace)."""
+    return jax.random.fold_in(jax.random.fold_in(base_key, INIT_NS),
+                              INIT_THETA)
 
 
 def ensure_key(key) -> jax.Array:

@@ -223,7 +223,7 @@ def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
 
     def step(state: SamplerState, _=None):
         it = state.iteration
-        kit = jax.random.fold_in(state.key, it)
+        kit = rng.step_key(state.key, it)
         draws = rng.Pool(kit, G, pool_words)
         theta, weight, acc = step_core(draws, state.theta, state.weight,
                                        it, state.history, kit)
@@ -257,7 +257,7 @@ def init_state(model: DEModel, de: DE, spec: ParamSpec, key,
     key = rng.ensure_key(key)
     G, Np, d, C = de.n_groups, de.Np, spec.dim, de.n_chains
     dtype = jnp.dtype(de.dtype)
-    k_init = jax.random.fold_in(key, rng.INIT_THETA)
+    k_init = rng.init_key(key)
 
     history = None
     if de.uses_resample:
