@@ -84,22 +84,57 @@ def migrate(draws, theta, weight, n_groups: int, fire=True):
     return new_theta, new_weight
 
 
+def _migrate_values(draws, theta, weight, n_groups: int):
+    """The exchange reduced to its tiny outputs: ``(routed_theta [G, d],
+    routed_w [G], vmask [G, Np])`` — application to the full population
+    happens OUTSIDE the cond (see maybe_migrate)."""
+    G, Np, d = theta.shape
+    dt = theta.dtype
+    n_active = draws.randint((), 2, n_groups + 1)
+    u = draws.uniform((G,))
+    idx = jnp.arange(G)
+    less = ((u[None, :] < u[:, None])
+            | ((u[None, :] == u[:, None]) & (idx[None, :] < idx[:, None])))
+    rank = jnp.sum(less.astype(jnp.int32), axis=1)
+    gum = draws.gumbel((G, Np))
+    pidx = jnp.argmax(-weight + gum, axis=1)
+    active = rank < n_active
+    src_rank = jnp.where(active, (rank - 1) % n_active, rank)
+    route = (rank[None, :] == src_rank[:, None]).astype(dt)
+    victim = jax.nn.one_hot(pidx, Np, dtype=dt)
+    vmask = victim > 0.5
+    sel_theta = jnp.einsum("gp,gpd->gd", victim, theta)
+    sel_w = jnp.sum(jnp.where(vmask, weight, 0.0), axis=1)
+    routed_theta = route @ sel_theta
+    routed_w = jnp.max(jnp.where(route > 0.5, sel_w[None, :], -jnp.inf),
+                       axis=1)
+    return routed_theta, routed_w, vmask
+
+
 def maybe_migrate(draws, theta, weight, alpha: float, n_groups: int):
     """Gate migration on a single Bernoulli(α) draw per iteration
     (reference ``rand() <= de.α``, ``src/main.jl:85``).
 
-    Uses ``lax.cond``: the gate is replicated so every device takes the
-    same branch, and the exchange's collectives/matmuls only execute on
-    the ~α fraction of iterations that actually migrate (measured faster
-    than the branchless masked form both single-chip and sharded).
+    Uses ``lax.cond`` over the exchange's TINY outputs ([G, d] routed
+    particles + [G, Np] victim mask) rather than the full population —
+    cond branches must materialize their outputs, and carrying
+    ``theta``/``weight`` through the cond cost a full-population copy
+    every iteration.  The masked application outside the cond is two
+    cheap fused selects; the skip branch's all-False mask makes it an
+    identity.
     """
     if alpha <= 0.0 or n_groups < 2:
         return theta, weight
     if not hasattr(draws, "uniform"):
         draws = rng.KeyDraws(draws)
+    G, Np, d = theta.shape
     gate = draws.uniform(())
-    return jax.lax.cond(
+    routed_t, routed_w, vmask = jax.lax.cond(
         gate <= alpha,
-        lambda t, w: migrate(draws, t, w, n_groups),
-        lambda t, w: (t, w),
-        theta, weight)
+        lambda: _migrate_values(draws, theta, weight, n_groups),
+        lambda: (jnp.zeros((G, d), theta.dtype),
+                 jnp.zeros((G,), weight.dtype),
+                 jnp.zeros((G, Np), bool)))
+    theta = jnp.where(vmask[..., None], routed_t[:, None, :], theta)
+    weight = jnp.where(vmask, routed_w[:, None], weight)
+    return theta, weight
