@@ -133,20 +133,32 @@ class DE:
     def replace(self, **kw) -> "DE":
         return replace(self, **kw)
 
-    def __hash__(self):
-        # Static-arg hash for jit caching; blocks converted to nested tuples.
+    def _static_key(self):
+        """A fully hashable/equatable content key — ndarray-valued fields
+        (bounds, blocks) frozen to nested tuples.  Used for ``__hash__``,
+        ``__eq__`` and the step-function cache: the dataclass-generated
+        ``__eq__`` would compare ndarray-containing tuples directly and
+        raise the ambiguous-truth-value ValueError on dict lookups."""
         def freeze(x):
             if isinstance(x, np.ndarray):
                 return ("nd", x.shape, tuple(x.reshape(-1).tolist()))
             if isinstance(x, (list, tuple)):
                 return tuple(freeze(e) for e in x)
             return x
-        return hash((self.Np, self.n_groups, self.burnin, self.discard_burnin,
-                     self.alpha, self.beta, self.epsilon, self.sigma,
-                     self.kappa, self.theta_snooker, freeze(self.bounds),
-                     self.n_initial, self.generate_proposal,
-                     self.update_particle, self.evaluate_fitness, self.sample,
-                     self.blocking_on, freeze(self.blocks), str(self.dtype)))
+        return (self.Np, self.n_groups, self.burnin, self.discard_burnin,
+                self.alpha, self.beta, self.epsilon, self.sigma,
+                self.kappa, self.theta_snooker, freeze(self.bounds),
+                self.n_initial, self.generate_proposal,
+                self.update_particle, self.evaluate_fitness, self.sample,
+                self.blocking_on, freeze(self.blocks), str(self.dtype))
+
+    def __hash__(self):
+        return hash(self._static_key())
+
+    def __eq__(self, other):
+        if not isinstance(other, DE):
+            return NotImplemented
+        return self._static_key() == other._static_key()
 
 
 class MCMCThreads:

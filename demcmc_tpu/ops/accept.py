@@ -23,38 +23,67 @@ def in_bounds(spec, x):
     return jnp.all((x >= lo) & (x <= hi), axis=-1)
 
 
-def compute_posterior(model, spec, de, x):
+def compute_posterior(model, spec, de, x, key=None):
     """Posterior log density of one flat parameter vector; ``-inf`` when out
     of bounds or non-finite (reference ``compute_posterior!``,
     ``src/utilities.jl:92-99``).  The reference skips the user functions for
     out-of-bounds proposals; under jit both branches evaluate, so any NaNs
     the user code produces out of bounds are masked away here.
+
+    ``key`` is the per-evaluation PRNG key for stochastic
+    (pseudo-marginal) likelihoods; ``None`` for deterministic models.
     """
-    lp = model.log_prior_flat(spec, x) + model.log_like_flat(spec, x)
+    lp = model.log_prior_flat(spec, x) + model.log_like_flat(spec, x, key)
     ok = in_bounds(spec, x) & ~jnp.isnan(lp)
     return jnp.where(ok, lp, -jnp.inf)
 
 
-def evaluate_fun(model, spec, de, x):
+def evaluate_fun(model, spec, de, x, key=None):
     """Objective-only fitness for optimization (reference ``evaluate_fun!``,
     ``src/utilities.jl:113-120``): out-of-bounds (or NaN) scores -inf when
     maximizing, +inf when minimizing."""
-    val = model.log_like_flat(spec, x)
+    val = model.log_like_flat(spec, x, key)
     bad = jnp.inf if de.is_minimize else -jnp.inf
     ok = in_bounds(spec, x) & ~jnp.isnan(val)
     return jnp.where(ok, val, bad)
 
 
 def make_fitness(model, spec, de):
-    """Batched fitness: ``[G, Np, d] -> [G, Np]`` via double vmap."""
+    """Batched fitness ``[G, Np, d] -> [G, Np]`` via double vmap.
+
+    Returns ``fitness(x, eval_key=None)``.  For ``model.stochastic``,
+    ``eval_key`` is split into one key per (group, particle) cell and
+    passed to the per-vector fitness (custom ``evaluate_fitness`` slots
+    then receive it as a 5th argument); deterministic models ignore it.
+    """
     slot = de.evaluate_fitness
+    stochastic = getattr(model, "stochastic", False)
     if slot in ("posterior", compute_posterior):
-        fn = lambda x: compute_posterior(model, spec, de, x)
+        fn = lambda x, k: compute_posterior(model, spec, de, x, k)
     elif slot in ("fun", evaluate_fun):
-        fn = lambda x: evaluate_fun(model, spec, de, x)
+        fn = lambda x, k: evaluate_fun(model, spec, de, x, k)
+    elif stochastic:
+        fn = lambda x, k: slot(model, spec, de, x, k)
     else:
-        fn = lambda x: slot(model, spec, de, x)
-    return jax.vmap(jax.vmap(fn))
+        fn = lambda x, k: slot(model, spec, de, x)
+
+    if not stochastic:
+        plain = jax.vmap(jax.vmap(lambda x: fn(x, None)))
+
+        def fitness(x, eval_key=None):
+            return plain(x)
+        return fitness
+
+    batched = jax.vmap(jax.vmap(fn))
+
+    def fitness(x, eval_key=None):
+        if eval_key is None:
+            raise ValueError("stochastic model requires an eval_key")
+        G, Np = x.shape[:2]
+        keys = jax.random.split(eval_key, G * Np)
+        keys = keys.reshape((G, Np) + keys.shape[1:])
+        return batched(x, keys)
+    return fitness
 
 
 # ---------------------------------------------------------------------------
@@ -70,11 +99,13 @@ def mh_update(key, w_cur, w_prop, log_adj):
 
     ``key`` may be a PRNG key or an ``rng.Pool``/``rng.KeyDraws`` source.
     """
+    dt = (w_cur.dtype if jnp.issubdtype(w_cur.dtype, jnp.floating)
+          else jnp.float32)
     if hasattr(key, "uniform"):
-        u = key.uniform(w_cur.shape)
+        u = key.uniform(w_cur.shape, dtype=dt)
     else:
-        u = jax.random.uniform(key, w_cur.shape, dtype=jnp.float32)
-    u = jnp.maximum(u, jnp.finfo(jnp.float32).tiny)
+        u = jax.random.uniform(key, w_cur.shape, dtype=dt)
+    u = jnp.maximum(u, jnp.finfo(dt).tiny)
     return jnp.log(u) <= (w_prop - w_cur + log_adj)
 
 

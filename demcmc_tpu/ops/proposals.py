@@ -70,7 +70,8 @@ class ProposalContext:
         return jax.random.fold_in(
             jax.random.fold_in(self.key, rng.NEXT_KEY), self._key_count[0])
 
-    def partner_indices_or_values(self, n: int, exclude_self: bool):
+    def partner_indices_or_values(self, n: int, exclude_self: bool,
+                                  replace: bool = False):
         """Either ``('idx', [n, G, Np] indices)`` into the current
         population (sample_current — lets the caller fuse gathers) or
         ``('val', [n, G, Np, d] vectors)`` (resample / custom slots)."""
@@ -78,15 +79,15 @@ class ProposalContext:
         if slot is sample_current:
             G, Np = self.theta.shape[:2]
             return "idx", _distinct_indices(self.draws, G, Np, n,
-                                            exclude_self)
+                                            exclude_self, replace)
         if slot is resample:
             return "val", resample(self, None, n, exclude_self)
         return "val", slot(self, self.next_key(), n, exclude_self)
 
-    def partners(self, n: int, exclude_self: bool):
+    def partners(self, n: int, exclude_self: bool, replace: bool = False):
         """``n`` partner populations ``[n, G, Np, d]`` via the ``sample``
         strategy slot (``sample_current`` or ``resample``)."""
-        kind, v = self.partner_indices_or_values(n, exclude_self)
+        kind, v = self.partner_indices_or_values(n, exclude_self, replace)
         if kind == "idx":
             return _gather_partners(self.theta, v)
         return v
@@ -97,41 +98,55 @@ class ProposalContext:
 # src/crossover.jl:103-140)
 # ---------------------------------------------------------------------------
 
-def _distinct_indices(draws, G: int, Np: int, n: int, exclude_self: bool):
-    """Uniform without-replacement index draws, O(1) per draw.
+def _distinct_indices(draws, G: int, Np: int, n: int, exclude_self: bool,
+                      replace: bool = False):
+    """Uniform index draws, O(1) per draw, without replacement by default.
 
     Returns ``[n, G, Np]`` int32 indices into the particle axis: for each
-    (group, target-particle) cell, ``n`` distinct uniform indices from the
-    group, excluding the target itself when ``exclude_self``.
+    (group, target-particle) cell, ``n`` uniform indices from the group,
+    excluding the target itself when ``exclude_self``.  ``replace=True``
+    gives independent draws (the reference ``sample`` slot's ``replace``
+    argument, ``src/crossover.jl:138-140``).
 
-    Uses the classic shift trick instead of argsort-of-uniforms (which
-    costs an O(Np log Np) sort per particle): draw the k-th index from a
-    range shrunk by k, then bump it past each earlier pick — exactly
-    uniform over ordered without-replacement tuples.  Supports n <= 3
-    (all the sampler ever needs: 2 DE partners, 3 snooker particles).
+    Without replacement uses the classic shift trick instead of
+    argsort-of-uniforms (which costs an O(Np log Np) sort per particle):
+    draw the k-th index from a range shrunk by k, then bump it past each
+    earlier pick in ascending order — exactly uniform over ordered
+    without-replacement tuples, for arbitrary n.
     """
     m = Np - 1 if exclude_self else Np      # candidate pool size
-    if n > 3:
-        raise NotImplementedError("n > 3 partner draws")
-    if m < n:
-        raise ValueError(f"need {n} distinct partners from {m} candidates "
-                         f"(Np={Np}, exclude_self={exclude_self})")
     shape = (G, Np)
-    picks = []
-    a = draws.randint(shape, 0, m)
-    picks.append(a)
-    if n >= 2:
-        b = draws.randint(shape, 0, m - 1)
-        b = b + (b >= a)
-        picks.append(b)
-    if n >= 3:
-        c = draws.randint(shape, 0, m - 2)
-        lo = jnp.minimum(a, b)
-        hi = jnp.maximum(a, b)
-        c = c + (c >= lo)
-        c = c + (c >= hi)
-        picks.append(c)
-    idx = jnp.stack(picks)                   # [n, G, Np] in 0..m-1
+    if replace:
+        idx = jnp.stack([draws.randint(shape, 0, m) for _ in range(n)])
+    else:
+        if m < n:
+            raise ValueError(
+                f"need {n} distinct partners from {m} candidates "
+                f"(Np={Np}, exclude_self={exclude_self})")
+        picks = []
+        sorted_picks = None                  # [k, G, Np], ascending per cell
+        for k in range(n):
+            a = draws.randint(shape, 0, m - k)
+            if k:
+                # bump past earlier picks smallest-first: each pass maps the
+                # draw into the gap structure left by the previous picks
+                for j in range(k):
+                    a = a + (a >= sorted_picks[j])
+            picks.append(a)
+            if k + 1 < n:                    # keep the sorted set current
+                if sorted_picks is None:
+                    sorted_picks = a[None]
+                else:
+                    # elementwise insertion (min/max bubble) — stays on the
+                    # VPU and fuses, unlike a lane-axis jnp.sort
+                    out, cur = [], a
+                    for j in range(k):
+                        s = sorted_picks[j]
+                        out.append(jnp.minimum(cur, s))
+                        cur = jnp.maximum(cur, s)
+                    out.append(cur)
+                    sorted_picks = jnp.stack(out)
+        idx = jnp.stack(picks)               # [n, G, Np] in 0..m-1
     if exclude_self:
         self_idx = jnp.arange(Np, dtype=idx.dtype)[None, None, :]
         idx = idx + (idx >= self_idx)        # skip the target's own slot
@@ -150,19 +165,25 @@ def _gather_partners(theta, idx):
     if Np <= 128:
         onehot = jax.nn.one_hot(idx, Np, dtype=theta.dtype)  # [n, G, Np, Np]
         lhs = jnp.moveaxis(onehot, 0, 1).reshape(G, n * Np, Np)
+        # HIGHEST precision: the default TPU matmul precision is bf16,
+        # which would replace gathered partners with bf16-rounded copies
+        # (exact gather semantics require full-precision one-hot dots).
         out = jax.lax.dot_general(
             lhs, theta, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=theta.dtype)              # [G, n·Np, d]
+            preferred_element_type=theta.dtype,
+            precision=jax.lax.Precision.HIGHEST)             # [G, n·Np, d]
         return jnp.moveaxis(out.reshape(G, n, Np, d), 1, 0)
     g = jnp.arange(G)[None, :, None]
     return theta[g, idx]
 
 
-def sample_current(ctx: ProposalContext, key, n: int, exclude_self: bool):
-    """Distinct partners from the *current* group, optionally excluding the
-    target particle (reference ``sample``, ``src/crossover.jl:138-140``) —
-    a fixed-shape replacement for ``setdiff`` +
-    ``StatsBase.sample(...; replace=false)``.  Returns ``[n, G, Np, d]``.
+def sample_current(ctx: ProposalContext, key, n: int, exclude_self: bool,
+                   replace: bool = False):
+    """Partners from the *current* group, optionally excluding the target
+    particle (reference ``sample``, ``src/crossover.jl:138-140``) — a
+    fixed-shape replacement for ``setdiff`` + ``StatsBase.sample``.
+    ``replace`` mirrors the reference slot argument (the built-in proposals
+    always pass False).  Returns ``[n, G, Np, d]``.
 
     ``key`` is accepted for strategy-slot signature compatibility; draws
     come from ``ctx.draws`` (or from the key if no draw source is set).
@@ -170,7 +191,7 @@ def sample_current(ctx: ProposalContext, key, n: int, exclude_self: bool):
     theta = ctx.theta
     G, Np, d = theta.shape
     draws = ctx.draws if ctx.draws is not None else rng.KeyDraws(key)
-    idx = _distinct_indices(draws, G, Np, n, exclude_self)   # [n, G, Np]
+    idx = _distinct_indices(draws, G, Np, n, exclude_self, replace)
     return _gather_partners(theta, idx)
 
 
@@ -216,7 +237,11 @@ def select_base_idx(draws, weight, Np: int):
     m = jnp.max(weight, axis=1, keepdims=True)
     e = jnp.exp(weight - jnp.where(jnp.isfinite(m), m, 0.0))  # -inf -> 0
     q = jnp.cumsum(e, axis=1)                          # [G, Np] CDF
-    u = draws.uniform((G, Np)) * q[:, -1:]             # [G, Np(target)]
+    # clamp u away from exactly 0: u=0 (prob 2^-24/draw from the pool)
+    # would select index 0 even when its softmax mass is exactly zero
+    # (a -inf-weight particle), contradicting the zero-mass guarantee.
+    u = jnp.maximum(draws.uniform((G, Np), dtype=e.dtype),
+                    jnp.finfo(weight.dtype).tiny) * q[:, -1:]
     idx = jnp.sum(q[:, None, :] < u[:, :, None], axis=-1)
     return jnp.minimum(idx, Np - 1)
 

@@ -39,7 +39,7 @@ class Population(NamedTuple):
 
 
 def optimize(model: DEModel, de: DE, *args, key=0, progress: bool = False,
-             mesh=None, **kwargs) -> Population:
+             mesh=None) -> Population:
     """Find the optimum of ``model.loglike`` (reference ``optimize``,
     ``src/optimize.jl:17-38``).  Configure the DE with
     ``evaluate_fitness='fun'`` and ``update_particle='maximize'`` (or

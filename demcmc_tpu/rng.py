@@ -31,6 +31,7 @@ INIT_THETA = 17     # init_state population draw (under INIT_NS)
 BLOCK = 18          # per-block subkeys in blocked updates
 CUSTOM = 19         # custom strategy-slot key root
 NEXT_KEY = 20       # ProposalContext.next_key substream
+EVAL = 21           # stochastic (pseudo-marginal) likelihood evaluations
 
 
 def step_key(base_key: jax.Array, iteration) -> jax.Array:
@@ -80,10 +81,14 @@ class Pool:
 
     Derivations:
     * uniform: top 24 bits × 2⁻²⁴ → [0, 1) with full f32 mantissa use.
+      float64 requests consume TWO words per element for a full 53-bit
+      mantissa (26 high + 27 low bits, each product exact in f64).
     * gumbel:  −log(−log(u)) with u clamped to (0, 1).
     * normal:  Box-Muller from two uniforms.
-    * randint: ``bits % n`` — exact for power-of-two ranges, ≤ 2⁻²⁴
-      relative bias otherwise (n is never > a few thousand here).
+    * randint: ``bits % n`` — exact for power-of-two ranges.  With x64
+      enabled, two words combine into a 64-bit draw (relative modulo
+      bias ≤ n·2⁻⁶⁴); otherwise bias is ≤ 2⁻²⁴ relative (n is never
+      > a few thousand here).
     """
 
     def __init__(self, key, n_rows: int, words_per_row: int):
@@ -122,8 +127,18 @@ class Pool:
     def uniform(self, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
         if self._row_words(tuple(shape)) is None:
             return self.scalars.uniform(shape, lo, hi, dtype)
-        scale = np.asarray(2.0 ** -24, dtype)
-        u = (self._take(shape) >> 8).astype(dtype) * scale
+        if jnp.dtype(dtype) == jnp.float64:
+            # 53-bit mantissa from two words: 26 high + 27 low bits.  Both
+            # partial products and their sum are exact in f64 (the 53 bits
+            # never overlap), giving the same granularity as
+            # jax.random.uniform's f64 path.
+            w_hi = self._take(shape)
+            w_lo = self._take(shape)
+            u = ((w_hi >> 6).astype(dtype) * np.asarray(2.0 ** -26, dtype)
+                 + (w_lo >> 5).astype(dtype) * np.asarray(2.0 ** -53, dtype))
+        else:
+            scale = np.asarray(2.0 ** -24, dtype)
+            u = (self._take(shape) >> 8).astype(dtype) * scale
         if lo == 0.0 and hi == 1.0:
             return u
         return lo + (hi - lo) * u
@@ -146,6 +161,14 @@ class Pool:
     def randint(self, shape, lo: int, hi: int):
         if self._row_words(tuple(shape)) is None:
             return self.scalars.randint(shape, lo, hi)
+        if jax.config.jax_enable_x64:
+            # 64-bit draw from two words: relative modulo bias <= n·2^-64,
+            # far below f64 statistical resolution even at 10^10 draws.
+            w_hi = self._take(shape).astype(jnp.uint64)
+            w_lo = self._take(shape).astype(jnp.uint64)
+            bits = (w_hi << 32) | w_lo
+            span = jnp.uint64(hi - lo)
+            return (bits % span).astype(jnp.int32) + lo
         span = jnp.uint32(hi - lo)
         return (self._take(shape) % span).astype(jnp.int32) + lo
 
@@ -174,20 +197,27 @@ class CountingDraws:
             return shape[0] * (int(np.prod(rest)) if rest else 1)
         return 0               # scalar side-channel
 
+    @staticmethod
+    def _wpe(dtype) -> int:
+        """Words per element — must mirror Pool.uniform's dtype rule."""
+        return 2 if jnp.dtype(dtype) == jnp.float64 else 1
+
     def uniform(self, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
-        self.words += self._row_cols(shape)
+        self.words += self._wpe(dtype) * self._row_cols(shape)
         return jnp.zeros(shape, dtype) + lo
 
     def gumbel(self, shape=(), dtype=jnp.float32):
-        self.words += self._row_cols(shape)
+        self.words += self._wpe(dtype) * self._row_cols(shape)
         return jnp.zeros(shape, dtype)
 
     def normal(self, shape=(), dtype=jnp.float32):
-        self.words += 2 * self._row_cols(shape)
+        self.words += 2 * self._wpe(dtype) * self._row_cols(shape)
         return jnp.zeros(shape, dtype)
 
     def randint(self, shape, lo, hi):
-        self.words += self._row_cols(shape)
+        # mirrors Pool.randint: two words per draw under x64
+        self.words += (2 if jax.config.jax_enable_x64 else 1) \
+            * self._row_cols(shape)
         return jnp.zeros(shape, jnp.int32) + lo
 
     def bernoulli(self, shape, p):

@@ -107,7 +107,10 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
     """
     try:
         cache = model.__dict__.setdefault("_step_cache", {})
-        cache_key = (de, _spec_key(spec))
+        # the frozen content key, NOT the DE object: distinct-but-equal DE
+        # configs with ndarray blocks would hash equal but make the dict's
+        # __eq__ fallback raise the ambiguous-array ValueError
+        cache_key = (de._static_key(), _spec_key(spec))
         hash(cache_key)
     except TypeError:
         cache, cache_key = None, None
@@ -170,7 +173,12 @@ def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
 
         # --- fitness + accept (THE hot kernel: user logpost vmapped over
         # the population; everything above fuses into it) -----------------
-        w_prop = fitness(prop)
+        if model.stochastic:
+            # pseudo-marginal: fresh simulation noise per evaluation, keyed
+            # per (iteration, block) — fitness splits per particle
+            w_prop = fitness(prop, jax.random.fold_in(key, rng.EVAL))
+        else:
+            w_prop = fitness(prop)
         acc_src = draws if builtin_update else jax.random.fold_in(
             key, rng.ACCEPT)
         acc = update_fn(acc_src, weight, w_prop, log_adj)
@@ -209,6 +217,14 @@ def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
     dtype = jnp.dtype(de.dtype)
     hist_spec = (None if not de.uses_resample else
                  jax.ShapeDtypeStruct((1, de.n_chains, d), dtype))
+    # the RUNTIME weight dtype is the fitness output's (a user loglike may
+    # promote, e.g. f64 data under x64) — dtype-sensitive draws (mh_update,
+    # select_base) consume 2 words/element for f64, so the probe must see
+    # the same dtype or the pool under-sizes
+    w_dtype = jax.eval_shape(
+        lambda x: fitness(x, jax.random.PRNGKey(0)) if model.stochastic
+        else fitness(x),
+        jax.ShapeDtypeStruct((G, Np, d), dtype)).dtype
 
     def _probe(theta, weight, it, kit):
         return step_core(counter, theta, weight, it, hist_spec and
@@ -216,7 +232,7 @@ def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
 
     jax.eval_shape(_probe,
                    jax.ShapeDtypeStruct((G, Np, d), dtype),
-                   jax.ShapeDtypeStruct((G, Np), dtype),
+                   jax.ShapeDtypeStruct((G, Np), w_dtype),
                    jax.ShapeDtypeStruct((), jnp.int32),
                    jax.random.PRNGKey(0))
     pool_words = max(counter.words, 1)
@@ -274,7 +290,12 @@ def init_state(model: DEModel, de: DE, spec: ParamSpec, key,
         theta0 = model.init_population(spec, k_init, C, dtype).reshape(G, Np, d)
 
     fitness = accept_ops.make_fitness(model, spec, de)
-    weight0 = fitness(theta0)
+    if model.stochastic:
+        k_eval = jax.random.fold_in(
+            jax.random.fold_in(key, rng.INIT_NS), rng.EVAL)
+        weight0 = fitness(theta0, k_eval)
+    else:
+        weight0 = fitness(theta0)
     it0 = de.n_initial + 1 if start_iteration is None else start_iteration
     return SamplerState(theta=theta0, weight=weight0, key=key,
                         iteration=jnp.asarray(it0, jnp.int32),
@@ -323,8 +344,17 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     footprint and device→host transfer by the same factor.  ``n_iter``
     must be divisible by ``thin``.  ``collect=False`` stores no
     trajectory at all (optimization mode) and returns ``ys=None``.
+
+    ``checkpoint_every`` and the progress display count REAL iterations
+    (not stored draws): with ``thin > 1`` they are rescaled to outer
+    steps internally.
     """
     base_step = step
+    n_iter_real = n_iter
+    if checkpoint_every and checkpoint_every > 0 and thin > 1:
+        # checkpoints can only land on outer-step boundaries; round the
+        # real-iteration interval up to the nearest multiple of thin
+        checkpoint_every = max(1, math.ceil(checkpoint_every / thin))
     if thin > 1:
         if n_iter % thin:
             raise ValueError(f"n_iter ({n_iter}) must be divisible by "
@@ -388,8 +418,8 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
             outs.append(jax.device_get(ys))
         done += n
         if progress:
-            print(f"\r[demcmc_tpu] {done}/{n_iter} iterations", end="",
-                  flush=True)
+            print(f"\r[demcmc_tpu] {done * thin}/{n_iter_real} iterations",
+                  end="", flush=True)
         if (checkpoint_every and checkpoint_path
                 and done % checkpoint_every == 0):
             from .utils.checkpoint import save_state
@@ -405,7 +435,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
 def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
            mesh=None, checkpoint_every: int = 0, checkpoint_path: str = None,
            return_state: bool = False, state: SamplerState = None,
-           thin: int = 1, **kwargs):
+           thin: int = 1):
     """Sample from the posterior (reference ``sample``,
     ``src/main.jl:19-42``).
 
