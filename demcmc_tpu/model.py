@@ -194,6 +194,14 @@ class DEModel:
     data: Any = None
     args: Tuple = ()
     kwargs: dict = field(default_factory=dict)
+    stochastic: bool = False
+    """Pseudo-marginal mode: ``loglike`` additionally receives a fresh
+    ``key=`` PRNG key on EVERY evaluation (unique per iteration, block and
+    particle), for stochastic likelihoods that re-simulate with fresh noise
+    — the reference's ABC examples re-draw from the global RNG each call
+    (``Examples/Binomial_ABC.jl:16-23``).  The accepted particle's weight
+    is never re-evaluated (it is carried in the sampler state), which is
+    exactly the pseudo-marginal construction."""
 
     def __post_init__(self):
         if self.loglike is None:
@@ -236,6 +244,9 @@ class DEModel:
             raise ValueError("prior_loglike not given (optimization-only model)")
         return self.prior_loglike(*spec.unflatten(x))
 
-    def log_like_flat(self, spec: ParamSpec, x: jnp.ndarray):
+    def log_like_flat(self, spec: ParamSpec, x: jnp.ndarray, key=None):
         params = spec.unflatten(x)
+        if self.stochastic and key is not None:
+            return self.loglike(self.data, *self.args, *params, key=key,
+                                **self.kwargs)
         return self.loglike(self.data, *self.args, *params, **self.kwargs)

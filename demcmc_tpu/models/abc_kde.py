@@ -20,7 +20,14 @@ from .gaussian import BOUNDS, NAMES, prior_loglike, sample_prior
 
 
 def make(data=None, key=0, n_obs=50, n_sim=10_000, sim_key=7,
-         Np=6, n_groups=4, burnin=1000, use_pallas=None, **de_kwargs):
+         Np=6, n_groups=4, burnin=1000, use_pallas=None,
+         fresh_noise=False, **de_kwargs):
+    """``fresh_noise=True`` re-draws the simulation noise on EVERY
+    likelihood evaluation (pseudo-marginal mode) — the reference example's
+    semantics, where each call pulls fresh global-RNG draws
+    (``Examples/KDE_Example.jl``, ``Examples/Binomial_ABC.jl:16-23``).
+    The default keeps a fixed noise panel (common random numbers), which
+    makes the synthetic likelihood deterministic in θ."""
     if data is None:
         data = jax.random.normal(jax.random.PRNGKey(key), (n_obs,))
 
@@ -36,12 +43,18 @@ def make(data=None, key=0, n_obs=50, n_sim=10_000, sim_key=7,
     else:
         kde_logpdf = epanechnikov_logpdf
 
-    def loglike(data, mu, sigma):
-        simdata = mu + sigma * noise
-        return jnp.sum(kde_logpdf(data, simdata))
+    if fresh_noise:
+        def loglike(data, mu, sigma, key=None):
+            simdata = mu + sigma * jax.random.normal(key, (n_sim,))
+            return jnp.sum(kde_logpdf(data, simdata))
+    else:
+        def loglike(data, mu, sigma):
+            simdata = mu + sigma * noise
+            return jnp.sum(kde_logpdf(data, simdata))
 
     model = DEModel(loglike=loglike, prior_loglike=prior_loglike,
-                    sample_prior=sample_prior, names=NAMES, data=data)
+                    sample_prior=sample_prior, names=NAMES, data=data,
+                    stochastic=fresh_noise)
     de = DE(bounds=BOUNDS, burnin=burnin, Np=Np, n_groups=n_groups,
             **de_kwargs)
     return model, de

@@ -47,17 +47,23 @@ def loglike_abc(data, theta, *, key=None, n_sim=10_000):
     return jnp.log(hit)
 
 
-def make_model(N: int, k: int, abc: bool = False) -> DEModel:
+def make_model(N: int, k: int, abc: bool = False,
+               fresh_noise: bool = False) -> DEModel:
+    """``fresh_noise=True`` (ABC only) re-simulates with a fresh key every
+    likelihood evaluation — pseudo-marginal mode, the reference example's
+    global-RNG semantics (``Examples/Binomial_ABC.jl:16-23``)."""
     data = {"N": N, "k": k}
     return DEModel(loglike=loglike_abc if abc else loglike,
                    prior_loglike=prior_loglike,
-                   sample_prior=sample_prior, names=NAMES, data=data)
+                   sample_prior=sample_prior, names=NAMES, data=data,
+                   stochastic=abc and fresh_noise)
 
 
-def make(N=10, k=None, key=0, abc=False, Np=4, burnin=1000, **de_kwargs):
+def make(N=10, k=None, key=0, abc=False, fresh_noise=False, Np=4,
+         burnin=1000, **de_kwargs):
     if k is None:
         k = int(jax.random.binomial(jax.random.PRNGKey(key), N, 0.5))
-    model = make_model(N, k, abc=abc)
+    model = make_model(N, k, abc=abc, fresh_noise=fresh_noise)
     de = DE(bounds=BOUNDS, burnin=burnin, Np=Np, **de_kwargs)
     return model, de
 
