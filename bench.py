@@ -78,17 +78,42 @@ def main():
                                       Np=16, burnin=100)
     gauss_16k = bench_model(model_16k, de_16k)
 
-    # ESS/s: posterior-quality throughput (BASELINE.json metric).  Timed
-    # sampling run including trajectory output, bulk-ESS of mu over all
-    # chains divided by wall time.
-    import demcmc_tpu as dm
+    # 65k chains at G=4096 with migration AND snooker enabled — guards
+    # the O(G) migration-routing path (a [G, G] route matrix would be
+    # ~17 GB of HBM traffic per fired migration at this scale)
+    model_65k, de_65k = gaussian.make(key=0, n_obs=50, n_groups=4096,
+                                      Np=16, burnin=100, alpha=0.1,
+                                      theta_snooker=0.1)
+    gauss_65k = bench_model(model_65k, de_65k, n_iter=1000)
+
+    # ESS/s: posterior-quality throughput (BASELINE.json metric),
+    # computed ENTIRELY on device — sampling scan + bulk-ESS of mu over
+    # all chains (demcmc_tpu.diagnostics.ess_device); only the scalar
+    # crosses the tunnel, so the number measures the chip, not the
+    # ~1-2 MB/s host link.
+    from demcmc_tpu.diagnostics import ess_device
+    from demcmc_tpu.sampler import build_step, init_state, make_spec
     model_e, de_e = gaussian.make(key=0, n_obs=50, n_groups=G, Np=Np,
                                   burnin=200)
-    dm.sample(model_e, de_e, 400, key=0)        # warm the compile caches
+    spec_e = make_spec(model_e, de_e)
+    state_e = init_state(model_e, de_e, spec_e, key=1)
+    step_e = build_step(model_e, de_e, spec_e)
+    n_ess = 1200
+
+    @jax.jit
+    def run_ess(s, dummy):
+        s, ys = jax.lax.scan(step_e, s, None, length=dummy.shape[0],
+                             unroll=2)
+        mu = ys.theta[de_e.burnin:, :, 0]        # [draws, chains]
+        return ess_device(mu)
+
+    ne = jnp.zeros(de_e.burnin + n_ess, jnp.int8)
+    e = run_ess(state_e, ne)
+    jax.block_until_ready(e)
     t0 = time.perf_counter()
-    chains = dm.sample(model_e, de_e, 1200, key=1)
+    e = run_ess(state_e, ne)
+    ess_mu = float(e)
     dt_e = time.perf_counter() - t0
-    ess_mu = chains.ess("mu")
     ess_per_s = ess_mu / dt_e
 
     value = float(np.sqrt(gauss * lba_tp))
@@ -98,10 +123,15 @@ def main():
         "value": round(value, 1),
         "unit": "chain-steps/s",
         "vs_baseline": round(value / baseline, 3),
+        "vs_baseline_basis": ("ESTIMATE: no Julia in this image and the "
+                              "reference publishes no numbers; baseline "
+                              "is a first-principles estimate (module "
+                              "docstring), not a measurement"),
         "gaussian_chain_steps_per_s": round(gauss, 1),
         "lba_chain_steps_per_s": round(lba_tp, 1),
         "gaussian_16384_chains_steps_per_s": round(gauss_16k, 1),
-        "gaussian_ess_per_s": round(float(ess_per_s), 1),
+        "gaussian_65536_chains_steps_per_s": round(gauss_65k, 1),
+        "gaussian_ess_per_s_on_device": round(float(ess_per_s), 1),
         "n_chains": N_CHAINS,
         "device": str(jax.devices()[0].platform),
     }))

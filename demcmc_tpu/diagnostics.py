@@ -134,6 +134,48 @@ def _ess_from_splits(s: np.ndarray) -> float:
     return float(n * m / tau)
 
 
+def ess_device(x):
+    """Device-resident mirror of :func:`ess` (split chains + Geyer initial
+    monotone positive sequence, autocovariance by FFT) returning a scalar
+    jnp array — used by throughput benchmarks to compute ESS/s WITHOUT
+    shipping the trajectory to the host (the device→host tunnel is ~1-2
+    MB/s here and would dominate the measurement).  Jit-compatible; tested
+    equal to the numpy implementation in ``tests/test_diagnostics.py``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    half = (x.shape[0] // 2 * 2) // 2
+    s = jnp.concatenate([x[:half], x[half:2 * half]], axis=1)
+    s = s.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    n, m = s.shape
+
+    chain_vars = s.var(axis=0, ddof=1)
+    w = chain_vars.mean()
+    b = n * s.mean(axis=0).var(ddof=1) if m > 1 else 0.0
+    var_plus = (n - 1) / n * w + b / n
+
+    xc = s - s.mean(axis=0, keepdims=True)
+    size = 2 ** int(np.ceil(np.log2(2 * n)))
+    f = jnp.fft.rfft(xc, n=size, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=size, axis=0)[:n].real / n
+
+    rho = 1.0 - (w - acov.mean(axis=1)) / var_plus
+    max_t = (n - 2) if (n - 2) % 2 == 0 else (n - 3)
+    pair = rho[:max_t + 2].reshape(-1, 2).sum(axis=1)
+    pos = pair > 0
+    # first non-positive pair index (length of the positive prefix)
+    k = jnp.where(jnp.all(pos), pair.shape[0], jnp.argmin(pos))
+    pair = jax.lax.cummin(pair)                  # monotone decrease
+    tau = -1.0 + 2.0 * jnp.sum(
+        jnp.where(jnp.arange(pair.shape[0]) < k, pair, 0.0))
+    tau = jnp.maximum(tau, 1.0 / np.log10(n * m + 10))
+    return n * m / tau
+
+
 def summary_stats(x) -> dict:
     """Posterior summary of draws [N, C]: mean/std/mcse/quantiles/rhat/ess."""
     x = np.asarray(x, dtype=np.float64)

@@ -146,3 +146,17 @@ def test_ess_matches_naive_geyer():
     expected = ns * m / tau
 
     np.testing.assert_allclose(dg.ess(x), expected, rtol=1e-10)
+
+
+def test_ess_device_matches_numpy():
+    # jnp mirror used for on-device ESS/s benchmarks must agree with the
+    # validated numpy implementation (x64 enabled in conftest)
+    rng = np.random.default_rng(5)
+    for shape in ((400, 8), (1000, 4), (250, 16)):
+        x = rng.standard_normal(shape)
+        # add autocorrelation so tau > 1
+        for t in range(1, shape[0]):
+            x[t] = 0.6 * x[t - 1] + np.sqrt(1 - 0.36) * x[t]
+        ref = dg.ess(x)
+        dev = float(dg.ess_device(x))
+        np.testing.assert_allclose(dev, ref, rtol=1e-6)
