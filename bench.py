@@ -31,12 +31,18 @@ BASE_GAUSSIAN = 1.0e6   # est. reference chain-steps/s (see module docstring)
 BASE_LBA = 2.0e5
 
 
-def bench_model(model, de, n_iter=2000):
+def bench_model(model, de, n_iter=20000):
+    # n_iter amortizes the ~31 ms fixed per-dispatch tunnel overhead of
+    # this harness's remote TPU (measured by two-length slope fits in
+    # round 2): at 2000 iterations the bias is +15.5 µs/step — larger
+    # than the step itself; at 20000 it is +1.6 µs.
     from demcmc_tpu.sampler import build_step, init_state, make_spec
 
     spec = make_spec(model, de)
     state = init_state(model, de, spec, key=0)
     step = build_step(model, de, spec)
+    if getattr(step, "fused", False):      # whole-step Pallas kernel path
+        state = step.to_fused(state)
 
     @jax.jit
     def run(s, dummy):
@@ -84,7 +90,7 @@ def main():
     model_65k, de_65k = gaussian.make(key=0, n_obs=50, n_groups=4096,
                                       Np=16, burnin=100, alpha=0.1,
                                       theta_snooker=0.1)
-    gauss_65k = bench_model(model_65k, de_65k, n_iter=1000)
+    gauss_65k = bench_model(model_65k, de_65k, n_iter=5000)
 
     # ESS/s: posterior-quality throughput (BASELINE.json metric),
     # computed ENTIRELY on device — sampling scan + bulk-ESS of mu over
@@ -98,13 +104,18 @@ def main():
     spec_e = make_spec(model_e, de_e)
     state_e = init_state(model_e, de_e, spec_e, key=1)
     step_e = build_step(model_e, de_e, spec_e)
+    fused_e = getattr(step_e, "fused", False)
+    if fused_e:
+        state_e = step_e.to_fused(state_e)
     n_ess = 1200
 
     @jax.jit
     def run_ess(s, dummy):
         s, ys = jax.lax.scan(step_e, s, None, length=dummy.shape[0],
                              unroll=2)
-        mu = ys.theta[de_e.burnin:, :, 0]        # [draws, chains]
+        # fused layout stacks [draws, d, 8, C/8]; XLA [draws, chains, d]
+        mu = (ys.theta[de_e.burnin:, 0].reshape(n_ess, -1) if fused_e
+              else ys.theta[de_e.burnin:, :, 0])
         return ess_device(mu)
 
     ne = jnp.zeros(de_e.burnin + n_ess, jnp.int8)

@@ -96,8 +96,31 @@ class ParamSpec:
         out = []
         for off, sz, shape, isi in zip(self.offsets, self.sizes, self.shapes,
                                        self.is_int):
-            seg = jax.lax.dynamic_slice_in_dim(x, off, sz)
-            a = seg.reshape(shape) if shape else seg[0]
+            # static slice + reshape, not dynamic_slice/seg[0]: offsets are
+            # Python ints, and the dynamic forms batch (vmap) into 1-wide
+            # lax.gathers, which TPU serializes on the scalar core and the
+            # Mosaic kernel lowering rejects outright
+            a = jax.lax.slice_in_dim(x, off, off + sz).reshape(shape)
+            if isi:
+                a = jnp.round(a).astype(jnp.int32)
+            out.append(a)
+        return out
+
+    def unflatten_cols(self, x2: jnp.ndarray) -> list:
+        """Split ``[d, *cs]`` (parameters × chain axes) into chain-LAST
+        parameter arrays: a scalar parameter becomes ``[*cs]``, a ``(k,)``
+        parameter ``[k, *cs]``, etc.  This is the batched-density
+        convention consumed by the fused TPU kernel (``ops/fused_step.py``)
+        — ``cs`` is the kernel's ``(8, C/8)`` sublane×lane chain layout, so
+        every density op runs on full vector tiles, where the per-cell
+        ``vmap`` of :meth:`unflatten` would put chains on the sublane axis
+        (measured ~10x slower in-kernel)."""
+        cs = x2.shape[1:]
+        out = []
+        for off, sz, shape, isi in zip(self.offsets, self.sizes, self.shapes,
+                                       self.is_int):
+            a = jax.lax.slice_in_dim(x2, off, off + sz, axis=0)
+            a = a.reshape(shape + cs) if shape else a.reshape(cs)
             if isi:
                 a = jnp.round(a).astype(jnp.int32)
             out.append(a)
@@ -194,6 +217,33 @@ class DEModel:
     data: Any = None
     args: Tuple = ()
     kwargs: dict = field(default_factory=dict)
+    loglike_batched: Optional[Callable] = None
+    """Optional chains-last batched form of ``loglike`` (a TPU perf
+    feature, no reference analogue): ``loglike_batched(data, *params) ->
+    [*cs]`` where each scalar parameter arrives as a ``[*cs]`` array and
+    each ``(k,)`` parameter as ``[k, *cs]`` — ``cs`` is an OPAQUE chain
+    shape (the fused kernel passes its ``(8, C/8)`` sublane×lane layout),
+    so implementations must broadcast data against params with leading
+    ``data.reshape(data.shape + (1,) * param.ndim)`` style expansion, not
+    hard-coded ``[:, None]``.  When both batched densities are given,
+    supported configurations run the whole-step fused Pallas kernel
+    (``ops/fused_step.py``) with the density evaluated in lane-major
+    layout; otherwise the per-cell ``loglike`` is vmapped by the XLA step.
+    The two forms must compute the same math."""
+
+    prior_loglike_batched: Optional[Callable] = None
+    """Chains-last batched form of ``prior_loglike`` — see
+    ``loglike_batched``."""
+
+    chunk_obs: bool = False
+    """Declares that every leaf of ``data`` carries a LEADING independent-
+    observation axis and ``loglike_batched`` sums over it, so the fused
+    TPU kernel may evaluate the density in observation chunks and add the
+    partial sums (identical math up to fp reassociation).  Chunking keeps
+    each in-kernel intermediate within the vector register file — without
+    it a heavy density (e.g. LBA's [n_trials, chains] working set) streams
+    every op through VMEM and the fused path falls back to XLA."""
+
     stochastic: bool = False
     """Pseudo-marginal mode: ``loglike`` additionally receives a fresh
     ``key=`` PRNG key on EVERY evaluation (unique per iteration, block and

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import DE
 from ..model import DEModel
@@ -35,9 +36,37 @@ def loglike(data, mu, sigma):
     return jnp.sum(dists.normal_logpdf(data, mu, sigma))
 
 
+def loglike_batched(data, mu, sigma):
+    """Chains-last batched form (mu, sigma: any chain shape ``cs``) for
+    the fused TPU kernel.  For f32 data the sum over observations is
+    carried out through the sufficient statistics (n, Σx, Σx²) — the same
+    Σᵢ log N(xᵢ; μ, σ) up to fp reassociation, but O(1) per chain instead
+    of O(n_obs) (the statistics are folded to python floats at trace
+    time, in f64).  f64 data takes the elementwise path so the trace
+    carries f64 ops — the fused build detects those and falls back to the
+    XLA step (the kernel is f32-only)."""
+    x = np.asarray(data)
+    if x.dtype == np.float64:
+        xe = jnp.asarray(data).reshape(x.shape + (1,) * mu.ndim)
+        return jnp.sum(dists.normal_logpdf(xe, mu[None], sigma[None]),
+                       axis=0)
+    n = float(x.shape[0])
+    s1 = float(x.sum(dtype=np.float64))
+    s2 = float((x.astype(np.float64) ** 2).sum())
+    return (-0.5 * n * float(np.log(2.0 * np.pi)) - n * jnp.log(sigma)
+            - 0.5 * (s2 - 2.0 * s1 * mu + n * mu * mu) / (sigma * sigma))
+
+
+def prior_loglike_batched(mu, sigma):
+    return (dists.normal_logpdf(mu, 0.0, 1.0)
+            + dists.halfcauchy_logpdf(sigma))
+
+
 def make_model(data) -> DEModel:
     return DEModel(loglike=loglike, prior_loglike=prior_loglike,
-                   sample_prior=sample_prior, names=NAMES, data=data)
+                   sample_prior=sample_prior, names=NAMES, data=data,
+                   loglike_batched=loglike_batched,
+                   prior_loglike_batched=prior_loglike_batched)
 
 
 def make(data=None, key=0, n_obs=50, true_mu=0.0, true_sigma=1.0,

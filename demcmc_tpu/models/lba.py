@@ -108,8 +108,52 @@ def make(data=None, key=0, n_trials=100, Np=15, n_groups=3, burnin=1500,
         choice, rt = data
         return jnp.sum(lba_logpdf(choice, rt, nu, A, k, tau))
 
+    def prior_loglike_batched(nu, A, k, tau):
+        # nu [n_acc, C]; A, k, tau [C] — same math as prior_loglike
+        return (jnp.sum(dists.normal_logpdf(nu, 1.0, 5.0), axis=0)
+                + dists.normal_logpdf(A, 0.8, 0.2)
+                + dists.normal_logpdf(k, 0.2, 0.1)
+                + dists.uniform_logpdf(tau, 0.0, min_rt))
+
+    def loglike_batched(data, nu, A, k, tau):
+        """Chains-last batched LBA density for the fused TPU kernel: all
+        intermediates [n_trials, *cs] (lane-major; ``cs`` is the kernel's
+        opaque chain shape), accumulators unrolled as a static python
+        loop (avoids an extra n_acc=2 axis whose sublane dim would waste
+        3/4 of each tile)."""
+        choice, rt = data
+        cn = A.ndim                                   # chain axes
+        exp = lambda arr: jnp.reshape(arr, jnp.shape(arr) + (1,) * cn)
+        b = A + k                                     # [*cs]
+        t = exp(rt) - tau[None]                       # [n, *cs]
+        valid = t > 0
+        ts = jnp.where(valid, t, 1.0)
+        inv_ts = 1.0 / ts
+        inv_A = 1.0 / A[None]
+        ll = jnp.zeros_like(ts)
+        for i in range(n_acc):
+            nui = nu[i][None]                         # [1, *cs]
+            z1 = (k[None] - ts * nui) * inv_ts        # (b - A - t nu)/ts
+            z2 = (b[None] - ts * nui) * inv_ts
+            P1, P2 = _Phi(z1), _Phi(z2)
+            p1, p2 = _phi(z1), _phi(z2)
+            pdf = inv_A * (-nui * P1 + p1 + nui * P2 - p2)
+            cdf = (1.0 + (k[None] - ts * nui) * inv_A * P1
+                   - (b[None] - ts * nui) * inv_A * P2
+                   + ts * inv_A * (p1 - p2))
+            win = exp(choice == i)
+            ll = ll + jnp.where(
+                win, jnp.log(jnp.clip(pdf, 1e-30, jnp.inf)),
+                jnp.log(jnp.clip(1.0 - cdf, 1e-30, 1.0)))
+        ll = jnp.where(valid, ll, -jnp.inf)
+        return jnp.sum(ll, axis=0)
+
     model = DEModel(loglike=loglike, prior_loglike=prior_loglike,
-                    sample_prior=sample_prior, names=NAMES, data=data)
+                    sample_prior=sample_prior, names=NAMES, data=data,
+                    loglike_batched=loglike_batched,
+                    prior_loglike_batched=prior_loglike_batched,
+                    chunk_obs=True)      # trials are iid: fused kernel
+    #   may sum the density over small trial chunks (see DEModel docs)
     kw = dict(bounds=bounds, burnin=burnin, Np=Np, n_groups=n_groups)
     kw.update(de_kwargs)
     de = DE(**kw)

@@ -1,0 +1,728 @@
+"""Whole-step fused Pallas kernel for flat-parameter models.
+
+The XLA step (``sampler._build_step_uncached``) lowers to ~8-10 kernels
+per iteration (threefry pool, one-hot gathers, fitness, accept, ...); at
+4k chains each kernel is ~1 µs of fixed launch overhead against ~100 ns
+of arithmetic, so the step is kernel-count bound (measured 12 µs/step on
+a v5e — see NOTES.md).  This module fuses the ENTIRE iteration —
+proposal, partner selection, bounds, the user log-posterior, and the MH
+accept — into ONE Pallas kernel, with migration kept outside under its
+(probability-α) ``lax.cond``.
+
+Reference semantics preserved (``src/crossover.jl:12-99``,
+``src/utilities.jl:92-99,201-210``): per-cell iid base/partner draws,
+γ₂-burnin schedule, ϵ-noise, κ-recombination, β-mutation, bounds +
+NaN-masked posterior, log-space MH.  The RNG is the TPU hardware PRNG
+seeded per (key, iteration) — a DIFFERENT (still counter-style,
+deterministic) stream than the XLA path's threefry pool, so the two
+paths are statistically, not bitwise, identical; both are SBC-validated.
+
+Layout: the kernel works in ``[d, 8, C/8]`` (parameters × sublanes ×
+lanes) — the C chains tiled onto BOTH the sublane and the lane axis of
+each (8, 128) vreg, row-major (chain c ↔ (c // (C/8), c mod (C/8))).
+A flat ``[d, C]`` layout (chains on lanes only) fills 1-2 of the 8
+sublanes per vreg, and the kernel is VPU-op-count bound: the 8x vreg
+inflation put the round-1 kernel at 13.4 µs/step vs the XLA step's 11.1
+(ablation: ~7.3 µs in the gather/select machinery alone).  Packing the
+sublanes cuts every machinery op 8x.  Groups (Np contiguous chains) must
+not straddle rows — ``supported`` requires (C/8) % Np == 0 — so
+group-local operations (softmax base-select, partner gathers over the Np
+group members) work within each row independently via per-row lane-roll
+networks:
+
+* segmented scan / broadcast — log₂(Np) ``pltpu.roll`` + select passes;
+* dynamic within-group gather — Np static-offset rolled copies combined
+  with per-lane one-hot masks (a "roll dictionary": the group axis is
+  contiguous in lanes, so member (g, (p+o) mod Np) of every group g is
+  ONE global lane-roll away for each static offset o).
+
+The user log-posterior is traced INTO the kernel via ``jax.vmap`` over
+the lane axis; models whose densities use only Mosaic-supported ops
+(elementwise math, reductions — true of every model in the zoo) compile;
+anything else falls back to the XLA step at build time.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import rng
+from . import accept as accept_ops
+from . import migration as migration_ops
+from . import proposals as proposal_ops
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:                                        # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+_R = 8          # f32 sublane count: chains pack as [_R, C // _R]
+
+
+def _mode():
+    """'auto' (TPU only), 'off', or 'interpret' (CPU testing)."""
+    return os.environ.get("DEMCMC_FUSED", "auto")
+
+
+def supported(model, de, spec) -> bool:
+    """Static predicate: can this configuration take the fused path?"""
+    if not _HAVE_PALLAS or _mode() == "off":
+        return False
+    if _mode() != "interpret" and jax.default_backend() != "tpu":
+        return False
+    gp = de.generate_proposal
+    if gp not in (proposal_ops.random_gamma, proposal_ops.fixed_gamma,
+                  proposal_ops.variable_gamma, "random_gamma",
+                  "fixed_gamma", "variable_gamma"):
+        return False
+    if de.sample not in (proposal_ops.sample_current, "sample"):
+        return False
+    if de.uses_resample or de.uses_snooker or de.blocks is not None:
+        return False
+    if not de.is_mh or de.evaluate_fitness not in (
+            "posterior", accept_ops.compute_posterior):
+        return False
+    if getattr(model, "stochastic", False) or spec.has_int:
+        return False
+    if model.loglike_batched is None or model.prior_loglike_batched is None:
+        # without a chains-last batched density the in-kernel evaluation
+        # would come from vmapping the per-cell form, which batches chains
+        # onto the SUBLANE axis (intermediates [C, n_obs] + transposes) —
+        # measured slower than the plain XLA step; not worth fusing
+        return False
+    if jnp.dtype(de.dtype) != jnp.float32:
+        return False
+    C = de.n_groups * de.Np
+    if C % _R != 0 or (C // _R) % de.Np != 0:
+        return False                   # groups must not straddle sublane rows
+    if de.Np < 3 or de.Np > 64:        # need 2 distinct non-self partners;
+        return False                   # roll dictionary is 2·Np-1 copies
+    return True
+
+
+# ---------------------------------------------------------------------------
+# lane-segment helpers (group = Np contiguous lanes WITHIN a sublane row;
+# all arrays are [R, Cf] or [d, R, Cf] and rolls act on the last axis, so
+# every row's groups shift independently and in parallel)
+# ---------------------------------------------------------------------------
+
+def _roll(x, shift):
+    """Last-axis roll: out[..., c] = x[..., c - shift] (np.roll
+    semantics), applied to every leading row independently.
+    ``pltpu.roll`` requires a non-negative shift; circularity makes
+    ``-k`` equivalent to ``Cf - k``.  3-D inputs are viewed 2-D first —
+    collapsing leading axes is layout-preserving (tiling only involves
+    the last two dims, and the collapsed sublane axis is a multiple of
+    the sublane tile)."""
+    shift = int(shift) % x.shape[-1]
+    if shift == 0:
+        return x
+    if x.ndim > 2:
+        flat = x.reshape(-1, x.shape[-1])
+        return pltpu.roll(flat, shift, axis=1).reshape(x.shape)
+    return pltpu.roll(x, shift, axis=x.ndim - 1)
+
+
+def _seg_scan(x, p, Np, op):
+    """Inclusive segmented Hillis-Steele scan within Np-lane groups.
+    ``p`` is the within-group slot index per lane ([R, Cf] int32)."""
+    k = 1
+    while k < Np:
+        x = jnp.where(p >= k, op(x, _roll(x, k)), x)
+        k *= 2
+    return x
+
+
+def _seg_last_bcast(x, p, Np):
+    """Broadcast each group's LAST lane value to the whole group."""
+    k = 1
+    while k < Np:
+        x = jnp.where(p <= Np - 1 - k, _roll(x, -k), x)
+        k *= 2
+    return x
+
+
+def _seg_leader_bcast(x, p, Np):
+    """Broadcast each group's FIRST lane value to the whole group."""
+    k = 1
+    while k < Np:
+        x = jnp.where(p >= k, _roll(x, k), x)
+        k *= 2
+    return x
+
+
+def _roll_dict(x, Np):
+    """All within-group member views of ``x``: entry o is the pair of
+    global rolls such that member (g, (p+o) mod Np) of lane (g, p) is
+    ``lo`` when p+o < Np and ``hi`` when p+o >= Np."""
+    out = []
+    for o in range(Np):
+        lo = _roll(x, -o) if o else x            # lane c + o
+        hi = _roll(x, Np - o) if o else x        # lane c + o - Np
+        out.append((lo, hi))
+    return out
+
+
+def _seg_gather(rolls, idx, p, Np):
+    """Within-group dynamic gather: out[..., c] = x[..., g(c)·Np + idx[c]]
+    from a precomputed ``_roll_dict``.  ``idx``/``p`` are [R, Cf]."""
+    off = jnp.remainder(idx - p, Np)             # within-group offset
+    acc = None
+    for o in range(Np):
+        lo, hi = rolls[o]
+        pick = jnp.where(p + o < Np, lo, hi)
+        term = jnp.where(off == o, pick, 0.0)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# kernel builder
+# ---------------------------------------------------------------------------
+
+def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
+    """Returns ``kernel_call(theta3 [d,R,Cf], weight3 [R,Cf], key2 [2]
+    uint32, it scalar) -> (new_theta3, new_weight3, accept [R,Cf] bool,
+    fire [1,1])`` — the fused iteration in the sublane-packed chain
+    layout (R=8 rows, Cf=C/8 lanes; chain c ↔ row c//Cf, lane c%Cf).
+    Raises on trace failure (caller falls back).
+
+    ``post_burnin=True`` builds the it > burnin specialization of
+    ``random_gamma`` (γ₂ = 0, crossover.jl:164): the softmax base-select
+    machinery is omitted entirely.  The wrapper dispatches between the
+    two kernels on ``it > burnin`` — a static schedule, so determinism
+    and bitwise resume are unaffected.
+    """
+    if interpret is None:
+        interpret = _mode() == "interpret"
+    G, Np, d = de.n_groups, de.Np, spec.dim
+    C = G * Np
+    R = _R
+    Cf = C // R
+    dt = jnp.float32
+    lo_b = np.asarray(spec.lo, np.float32).reshape(d, 1)
+    hi_b = np.asarray(spec.hi, np.float32).reshape(d, 1)
+    eps = float(de.epsilon)
+    kappa = float(de.kappa)
+    beta = float(de.beta)
+    sigma = float(de.sigma)
+    alpha = float(de.alpha) if G > 1 else 0.0
+    burnin = int(de.burnin)
+    gp = de.generate_proposal
+    is_random_gamma = gp in (proposal_ops.random_gamma, "random_gamma")
+    if gp in (proposal_ops.fixed_gamma, "fixed_gamma"):
+        fixed_g1 = 2.38
+    elif gp in (proposal_ops.variable_gamma, "variable_gamma"):
+        fixed_g1 = 2.38 / float(np.sqrt(2.0 * d))
+    else:
+        fixed_g1 = None
+
+    def _lp_fn(prop3):
+        """Posterior log density of the whole population,
+        [d, R, Cf] -> [R, Cf], via the model's chains-LAST batched
+        densities (bounds/NaN mask applied outside).  Chains stay in the
+        packed sublane×lane layout throughout — the per-cell vmap
+        alternative batches chains onto sublanes only (intermediates
+        [C, n_obs] plus lane<->sublane transposes), which measured ~10x
+        slower in-kernel."""
+        cols = spec.unflatten_cols(prop3)
+        lp = model.prior_loglike_batched(*cols) + _ll(cols)
+        return lp.reshape(R, Cf).astype(dt)
+
+    def _ll(cols):
+        if not model.chunk_obs:
+            return model.loglike_batched(model.data, *model.args, *cols,
+                                         **model.kwargs)
+        # observation chunking (model.chunk_obs contract): evaluate the
+        # density over small data slices and add the partial sums, so
+        # each in-kernel intermediate is [CH, R, Cf] instead of
+        # [n_obs, R, Cf] — small enough to live in vector registers
+        # rather than streaming through VMEM on every op.  CH targets
+        # ≤ 16 vregs (64 KiB) per intermediate.
+        import jax.tree_util as jtu
+        data = jtu.tree_map(np.asarray, model.data)
+        n_obs = jtu.tree_leaves(data)[0].shape[0]
+        CH = max(1, (1 << 16) // (R * Cf * 4))
+        tot = None
+        for c0 in range(0, n_obs, CH):
+            dc = jtu.tree_map(lambda a: a[c0:c0 + CH], data)
+            t = model.loglike_batched(dc, *model.args, *cols,
+                                      **model.kwargs)
+            tot = t if tot is None else tot + t
+        return tot
+
+    # Pallas kernels cannot capture array constants (model data, prior
+    # hyperparameters, ...) — trace the log posterior to a jaxpr and
+    # PARTIALLY EVALUATE it at build time: every const-only subgraph is
+    # folded on the host (so e.g. data reshapes/expansions — which Mosaic
+    # would lower as unsupported lane<->sublane transposes — happen in
+    # numpy, once), and only the residual program that actually touches
+    # the proposal is replayed in-kernel, with its folded operands shipped
+    # as explicit kernel inputs.  Const broadcasts stay LAZY: the small
+    # base array is shipped and the ``broadcast_in_dim`` to the full
+    # [n_obs, R, Cf] intermediate shape is replayed in-kernel (a natively
+    # supported splat), so a 400 B data vector is not shipped as a 1.6 MB
+    # pre-broadcast block.  The replay interpreter substitutes Mosaic-
+    # unsupported primitives (``erf``/``erfc``, from Φ in e.g. the LBA
+    # density) with in-kernel implementations; call primitives
+    # (pjit/custom_jvp) are inlined during partial evaluation.  The fused
+    # path is f32 throughout: a jaxpr touching f64 (not a Mosaic dtype)
+    # raises here and the caller falls back to the XLA step.
+    from jax.extend import core as jax_core
+    closed = jax.make_jaxpr(_lp_fn)(jnp.zeros((d, R, Cf), dt))
+
+    def _subjaxprs(params):
+        for v in params.values():
+            vs = v if isinstance(v, (tuple, list)) else (v,)
+            for w in vs:
+                if isinstance(w, jax_core.ClosedJaxpr):
+                    yield w.jaxpr
+                elif isinstance(w, jax_core.Jaxpr):
+                    yield w
+
+    def _check_f64(jaxpr):
+        for eqn in jaxpr.eqns:
+            for v in eqn.outvars:
+                if getattr(v.aval, "dtype", None) == jnp.float64:
+                    raise ValueError(
+                        "log posterior traces to float64 ops; the fused "
+                        "kernel is f32-only (build the model with f32 "
+                        "data or run under enable_x64(False))")
+            for sub in _subjaxprs(eqn.params):
+                _check_f64(sub)
+
+    _check_f64(closed.jaxpr)
+
+    def _erf32(x):
+        """float32 erf as XLA's own rational approximation (ErfImpl32,
+        xla/client/lib/math.cc) with saturation at |x|=3.8 — Mosaic has no
+        erf lowering.  Max abs deviation from the XLA primitive: 4.8e-7
+        (~4 ulp at 1.0), verified in ``tests/test_fused_step.py``."""
+        alpha = (0.00022905065861350646, 0.0034082910107109506,
+                 0.050955695062380861, 0.18520832239976145,
+                 1.128379143519084)
+        beta = (-1.1791602954361697e-7, 0.000023547966471313185,
+                0.0010179625278914885, 0.014070470171167667,
+                0.11098505178285362, 0.49746925110067538, 1.0)
+        xc = jnp.clip(x, -3.8, 3.8)
+        x2 = xc * xc
+
+        def poly(cs):
+            r = jnp.full_like(x2, np.float32(cs[0]))
+            for c in cs[1:]:
+                r = r * x2 + np.float32(c)
+            return r
+
+        rat = xc * poly(alpha) / poly(beta)
+        return jnp.where(jnp.abs(x) >= np.float32(3.8), jnp.sign(x), rat)
+
+    def _erfc32(x):
+        """float32 erfc via Abramowitz & Stegun 7.1.26 (|abs err| < 6e-7;
+        tail-relative error grows to ~1e-2 by |x|≈5, comparable to the
+        f32 cancellation the per-cell path already incurs computing
+        1-cdf).  Φ(z) = 0.5·erfc(-z/√2) is how jax.scipy lowers norm.cdf."""
+        ax = jnp.abs(x)
+        t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
+        poly = t * (np.float32(0.254829592) + t * (np.float32(-0.284496736)
+               + t * (np.float32(1.421413741) + t * (np.float32(-1.453152027)
+               + t * np.float32(1.061405429)))))
+        y = jnp.exp(-ax * ax) * poly
+        return jnp.where(x >= 0, y, np.float32(2.0) - y)
+
+    _overrides = {"erf": lambda invals, params: [_erf32(invals[0])],
+                  "erfc": lambda invals, params: [_erfc32(invals[0])]}
+    _call_prims = ("pjit", "closed_call", "core_call", "custom_jvp_call",
+                   "custom_vjp_call", "custom_vjp_call_jaxpr", "remat",
+                   "checkpoint")
+
+    # ---- build-time partial evaluation -------------------------------
+    class _Sym:                          # token for an in-kernel value
+        __slots__ = ()
+
+    class _Lazy:                         # un-materialized const broadcast
+        __slots__ = ("base", "shape", "bdims")
+
+        def __init__(self, base, shape, bdims):
+            self.base, self.shape, self.bdims = base, shape, bdims
+
+    residual = []                        # (eqn, operand descs, out syms)
+    ship, _ship_key = [], {}             # kernel inputs for folded consts
+
+    def _ship_arr(a):
+        a = np.asarray(a)
+        if a.dtype == np.bool_:
+            a = a.astype(np.int32)       # Mosaic has no bool inputs
+        if a.dtype in (np.float64, np.int64, np.uint64):
+            raise ValueError(f"64-bit const ({a.dtype}) in the density")
+        key = (a.dtype.str, a.shape, a.tobytes())
+        if key not in _ship_key:
+            _ship_key[key] = len(ship)
+            ship.append(a)
+        return _ship_key[key]
+
+    def _materialize(val):
+        if isinstance(val, _Lazy):
+            es = [1] * len(val.shape)
+            for i, bd in enumerate(val.bdims):
+                es[bd] = val.base.shape[i]
+            return np.broadcast_to(val.base.reshape(es), val.shape)
+        return np.asarray(val)
+
+    def _enc(val):
+        """Encode a partial-eval value as an in-kernel replay operand."""
+        if isinstance(val, _Sym):
+            return ("var", val)
+        if isinstance(val, _Lazy):
+            base, shape, bdims = val.base, val.shape, val.bdims
+            if base.size == 1:
+                return ("splat", base.reshape(()).item(), shape,
+                        base.dtype.str, base.dtype == np.bool_)
+            keep = [i for i, s in enumerate(base.shape) if s != 1]
+            nb = base.reshape([base.shape[i] for i in keep])
+            nbd = tuple(bdims[i] for i in keep)
+            if nb.ndim == 1:
+                # ship 1-D bases 2-D ([n, 1], n on sublanes) — a 1-D
+                # vector input would need an in-kernel rank change; map
+                # the appended unit axis to any later output dim
+                free = [j for j in range(len(shape))
+                        if j > nbd[0] and j not in nbd]
+                if free:
+                    nb = nb.reshape(-1, 1)
+                    nbd = (nbd[0], free[0])
+            was_bool = nb.dtype == np.bool_
+            return ("binp", _ship_arr(nb), tuple(shape), nbd, was_bool)
+        a = np.asarray(val)
+        if a.size == 1:
+            return ("splat", a.reshape(()).item(), a.shape, a.dtype.str,
+                    a.dtype == np.bool_)
+        return ("inp", _ship_arr(a), a.dtype == np.bool_)
+
+    def _eager(eqn, ivals):
+        args = [jnp.asarray(_materialize(iv)) for iv in ivals]
+        subfuns, bp = eqn.primitive.get_bind_params(eqn.params)
+        outs = eqn.primitive.bind(*subfuns, *args, **bp)
+        if not eqn.primitive.multiple_results:
+            outs = [outs]
+        return [np.asarray(o) for o in outs]
+
+    def _peval(jaxpr, consts, invals):
+        env = {}
+        for v, c in zip(jaxpr.constvars, consts):
+            env[v] = np.asarray(c)
+        for v, a in zip(jaxpr.invars, invals):
+            env[v] = a
+
+        def read(v):
+            if isinstance(v, jax_core.Literal):
+                return np.asarray(v.val)
+            return env[v]
+
+        for eqn in jaxpr.eqns:
+            ivals = [read(v) for v in eqn.invars]
+            name = eqn.primitive.name
+            has_sym = any(isinstance(iv, _Sym) for iv in ivals)
+            if not has_sym:
+                if name == "broadcast_in_dim":
+                    base = _materialize(ivals[0])
+                    shape = tuple(eqn.params["shape"])
+                    if base.size * 4 <= int(np.prod(shape)):
+                        env[eqn.outvars[0]] = _Lazy(
+                            base, shape,
+                            tuple(eqn.params["broadcast_dimensions"]))
+                        continue
+                outs = _eager(eqn, ivals)
+            elif name in _call_prims:
+                inner = (eqn.params.get("jaxpr")
+                         or eqn.params.get("call_jaxpr"))
+                if isinstance(inner, jax_core.ClosedJaxpr):
+                    outs = _peval(inner.jaxpr, inner.consts, ivals)
+                else:
+                    outs = _peval(inner, (), ivals)
+            else:
+                syms = [None if type(v).__name__ == "DropVar" else _Sym()
+                        for v in eqn.outvars]
+                residual.append((eqn, [_enc(iv) for iv in ivals], syms))
+                outs = syms
+            for v, o in zip(eqn.outvars, outs):
+                if type(v).__name__ != "DropVar":
+                    env[v] = o
+        return [read(v) for v in jaxpr.outvars]
+
+    _root = _Sym()
+    (_lp_out,) = _peval(closed.jaxpr, closed.consts, [_root])
+    _lp_out_op = _enc(_lp_out)
+
+    # Heavy densities do not belong in the kernel UNCHUNKED: an
+    # intermediate much larger than the vector register file streams
+    # through VMEM on every op (Mosaic materializes each op's result — no
+    # cross-op loop fusion), which measured ~1.6x SLOWER than the XLA
+    # step's properly-fused density (unchunked LBA: 93 vs 57 µs/step).
+    # Models opt into observation chunking via ``chunk_obs`` (see
+    # ``_ll``); whatever remains oversized here falls back.
+    _max_out = max(
+        (int(np.prod(v.aval.shape)) * v.aval.dtype.itemsize
+         for eqn, _, _ in residual for v in eqn.outvars
+         if type(v).__name__ != "DropVar"), default=0)
+    if _max_out > 1 << 20:
+        raise ValueError(
+            f"a density intermediate is {_max_out / 2**20:.1f} MiB "
+            "(register-file working set exceeded); using the XLA step — "
+            "consider DEModel.chunk_obs")
+
+    def lp_conv(prop_val, ship_vals):
+        """Replay the residual density program in-kernel."""
+        env2 = {_root: prop_val}
+
+        def dec(op):
+            kind = op[0]
+            if kind == "var":
+                return env2[op[1]]
+            if kind == "splat":
+                _, v, shape, dts, wb = op
+                if wb:
+                    return jnp.full(shape, np.int32(bool(v))) != 0
+                dtype = np.dtype(dts)
+                # weak python-scalar literals read back as 64-bit numpy
+                # scalars; the kernel is 32-bit throughout
+                if dtype == np.float64:
+                    dtype = np.float32
+                elif dtype in (np.int64, np.uint64):
+                    dtype = np.int32
+                return jnp.full(shape, v, dtype)
+            if kind == "inp":
+                _, i, wb = op
+                v = ship_vals[i]
+                return (v != 0) if wb else v
+            _, i, shape, bdims, wb = op
+            v = jax.lax.broadcast_in_dim(ship_vals[i], shape, bdims)
+            return (v != 0) if wb else v
+
+        for eqn, ops, syms in residual:
+            invals = [dec(op) for op in ops]
+            name = eqn.primitive.name
+            if name in _overrides:
+                outs = _overrides[name](invals, eqn.params)
+            else:
+                subfuns, bp = eqn.primitive.get_bind_params(eqn.params)
+                outs = eqn.primitive.bind(*subfuns, *invals, **bp)
+                if not eqn.primitive.multiple_results:
+                    outs = [outs]
+            for s, o in zip(syms, outs):
+                if s is not None:
+                    env2[s] = o
+        return dec(_lp_out_op)
+
+    # bit-consumption rows per iteration, [W, C] uint32 — mirrors the
+    # kernel's static draw order (used by the interpret path, which feeds
+    # threefry bits from outside: the Mosaic interpreter stubs the
+    # hardware PRNG to zeros)
+    n_words = 2                                       # partner draws
+    if is_random_gamma:
+        n_words += 1 if post_burnin else 3            # (u_base, g2,) g1
+    if eps > 0.0:
+        n_words += d
+    if kappa < 1.0:
+        n_words += d
+    if beta > 0.0:
+        n_words += 1 + 2 * d                          # gate + Box-Muller
+    n_words += 1                                      # accept
+    n_words += 1                                      # fire look-ahead
+
+    def kernel(it_ref, key_ref, *refs):
+        if interpret:
+            bits_ref, refs = refs[0], refs[1:]
+        (ship_refs, (theta_ref, w_ref, out_t_ref, out_w_ref,
+                     out_acc_ref, out_fire_ref)) = \
+            refs[:len(ship)], refs[len(ship):]
+        ship_vals = [ref[:] for ref in ship_refs]
+        if not interpret:
+            # libtpu supports at most 2 seed words — fold the iteration
+            # into both words (golden-ratio odd multiplier) instead of
+            # passing it as a third
+            mixed = (it_ref[0].astype(jnp.uint32)
+                     * np.uint32(0x9E3779B9))
+            pltpu.prng_seed(key_ref[0] ^ mixed,
+                            key_ref[1] + mixed + np.uint32(1))
+        it = it_ref[0]
+        theta = theta_ref[:]                       # [d, R, Cf]
+        w = w_ref[:]                               # [R, Cf]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
+        p = lane % Np                              # within-group slot
+
+        row_at = [0]                               # static bit-row cursor
+
+        def take(rows):
+            # one logical "row" = C draws, packed [R, Cf] (rows > 1:
+            # [rows, R, Cf]; the reshapes split leading axes on sublane-
+            # tile boundaries, which is layout-preserving)
+            if interpret:
+                r0 = row_at[0]
+                row_at[0] = r0 + rows
+                flat = bits_ref[r0:r0 + rows, :]   # [rows, C]
+                shape = (R, Cf) if rows == 1 else (rows, R, Cf)
+                return flat.reshape(shape)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((rows * R, Cf)),
+                                 jnp.uint32)
+            return bits if rows == 1 else bits.reshape(rows, R, Cf)
+
+        def uni(rows):
+            # uint32 -> f32 value casts are not a Mosaic-supported
+            # conversion; build the float by bit-surgery instead
+            # (mantissa | exponent-of-1 gives [1, 2), like jax.random):
+            # 23-bit granularity vs the XLA pool's 24 — immaterial, the
+            # two paths are different streams anyway (module docstring)
+            mant = take(rows) >> 9
+            one = jnp.full(mant.shape, 0x3F800000, jnp.uint32)
+            return pltpu.bitcast(mant | one, dt) - np.float32(1.0)
+
+        def randint(rows, span):
+            return pltpu.bitcast(take(rows) % np.uint32(span),
+                                 jnp.int32)
+
+        # ---- partner indices: 2 distinct non-self draws (shift trick,
+        # crossover.jl:138-140 semantics) -----------------------------------
+        m = Np - 1
+        a = randint(1, m)
+        b = randint(1, m - 1)
+        b = b + (b >= a)
+        a = a + (a >= p)
+        b = b + (b >= p)
+
+        rolls = _roll_dict(theta, Np)
+        pm = _seg_gather(rolls, a, p, Np)          # [d, R, Cf]
+        pn = _seg_gather(rolls, b, p, Np)
+
+        if is_random_gamma and not post_burnin:
+            # ---- base select ∝ softmax(weight) over the group
+            # (crossover.jl:282-289) via segmented inverse-CDF ------------
+            mx = _seg_last_bcast(_seg_scan(w, p, Np, jnp.maximum), p, Np)
+            e = jnp.exp(w - jnp.where(jnp.isfinite(mx), mx, 0.0))
+            q = _seg_scan(e, p, Np, jnp.add)       # group CDF
+            tot = _seg_last_bcast(q, p, Np)
+            u_b = jnp.maximum(uni(1), np.float32(np.finfo(np.float32).tiny)) * tot
+            # count of group members with cdf < u — enumerate members via
+            # the roll dictionary of q
+            q_rolls = _roll_dict(q, Np)
+            cnt = jnp.zeros((R, Cf), jnp.int32)
+            for o in range(Np):
+                lo, hi = q_rolls[o]
+                member = jnp.where(p + o < Np, lo, hi)
+                cnt = cnt + (member < u_b).astype(jnp.int32)
+            bidx = jnp.minimum(cnt, Np - 1)
+            base = _seg_gather(rolls, bidx, p, Np)
+
+            g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
+            g2 = uni(1) * np.float32(0.5) + np.float32(0.5)
+            g2 = jnp.where(it > burnin, np.float32(0.0), g2)
+            prop = theta + g1 * (pm - pn) + g2 * (base - theta)
+        elif is_random_gamma:
+            # post-burnin specialization (dispatched by the wrapper's
+            # ``it > burnin`` cond): γ₂ = 0 EXACTLY per crossover.jl:164,
+            # so the whole softmax base-select stack is dead code here
+            g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
+            prop = theta + g1 * (pm - pn)
+        else:
+            prop = theta + np.float32(fixed_g1) * (pm - pn)
+
+        if eps > 0.0:
+            prop = prop + (uni(d) * np.float32(2 * eps)
+                           - np.float32(eps))
+        if kappa < 1.0:                            # recombination
+            keep = uni(d) > np.float32(1.0 - kappa)
+            prop = jnp.where(keep, prop, theta)
+
+        if beta > 0.0:                             # β-mutation per group
+            gate = uni(1)
+            gate = _seg_leader_bcast(gate, p, Np)  # one draw per group
+            u1 = jnp.maximum(uni(d),
+                             np.float32(np.finfo(np.float32).tiny))
+            u2 = uni(d)
+            nrm = jnp.sqrt(np.float32(-2.0) * jnp.log(u1)) \
+                * jnp.cos(np.float32(2.0 * np.pi) * u2)
+            prop = jnp.where(gate <= np.float32(beta),
+                             theta + np.float32(sigma) * nrm, prop)
+
+        # ---- fitness: bounds + user log posterior (utilities.jl:92-99) ---
+        # per-dimension scalar-literal bounds (array bounds would be
+        # captured constants, which Pallas rejects); ±inf rows skipped
+        inb = jnp.ones((R, Cf), bool)
+        for i in range(d):
+            row = prop[i]                          # [R, Cf]
+            if np.isfinite(lo_b[i, 0]):
+                inb = inb & (row >= np.float32(lo_b[i, 0]))
+            if np.isfinite(hi_b[i, 0]):
+                inb = inb & (row <= np.float32(hi_b[i, 0]))
+        lp = lp_conv(prop, ship_vals)              # [R, Cf]
+        w_prop = jnp.where(inb & ~jnp.isnan(lp), lp, -jnp.inf)
+
+        # ---- MH accept in log space (utilities.jl:201-210) ---------------
+        u = jnp.maximum(uni(1),
+                        np.float32(np.finfo(np.float32).tiny))
+        acc = jnp.log(u) <= (w_prop - w)
+        out_t_ref[:] = jnp.where(acc, prop, theta)
+        out_w_ref[:] = jnp.where(acc, w_prop, w)
+        out_acc_ref[:] = acc
+        # migration gate for the NEXT iteration (main.jl:85's rand() <= α,
+        # drawn one step ahead so the decision costs no extra kernel)
+        u_fire = uni(1)[:1, :1]
+        fire = (u_fire <= np.float32(alpha)) if alpha > 0.0 \
+            else jnp.zeros((1, 1), bool)
+        out_fire_ref[:] = fire.astype(jnp.int32)
+
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((d, R, Cf), dt),
+                   jax.ShapeDtypeStruct((R, Cf), dt),
+                   jax.ShapeDtypeStruct((R, Cf), bool),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        in_specs=[smem((1,)), smem((2,))]
+        + ([vmem()] if interpret else [])
+        + [vmem() for _ in ship] + [vmem(), vmem()],
+        out_specs=(vmem(), vmem(), vmem(), vmem()),
+        # the TPU-specific interpreter (plain interpret=True lacks rules
+        # for pltpu primitives: prng_seed, roll, ...)
+        interpret=pltpu.InterpretParams() if interpret else False,
+        # heavy densities (e.g. LBA: ~13 live [n_obs, R, Cf] blocks) blow
+        # the default 16 MiB scoped-vmem budget; physical VMEM is larger
+        # on v5e+.  If the chip can't honor it, compilation fails at the
+        # lower() below and the caller falls back to the XLA step.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )
+
+    def kernel_call(theta3, weight3, key2, it):
+        extra = ()
+        if interpret:
+            key = jax.random.wrap_key_data(key2, impl="threefry2x32")
+            extra = (jax.random.bits(jax.random.fold_in(key, it),
+                                     (n_words, C), jnp.uint32),)
+        return call(it.reshape(1).astype(jnp.int32),
+                    key2.astype(jnp.uint32), *extra,
+                    *[jnp.asarray(a) for a in ship], theta3, weight3)
+
+    # surface unsupported-op errors at build time so the caller can fall
+    # back to the XLA step: on the real path, LOWER through the Mosaic
+    # pipeline (eval_shape only traces — a kernel using an op Mosaic
+    # can't lower would otherwise die at first execution, deep inside the
+    # driver's jitted scan); lowering is local and cheap, unlike the
+    # remote backend compile
+    shapes = (jax.ShapeDtypeStruct((d, R, Cf), dt),
+              jax.ShapeDtypeStruct((R, Cf), dt),
+              jax.ShapeDtypeStruct((2,), jnp.uint32),
+              jax.ShapeDtypeStruct((), jnp.int32))
+    if interpret:
+        jax.eval_shape(kernel_call, *shapes)
+    else:
+        jax.jit(kernel_call).lower(*shapes)
+    return kernel_call

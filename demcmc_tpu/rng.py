@@ -32,6 +32,7 @@ BLOCK = 18          # per-block subkeys in blocked updates
 CUSTOM = 19         # custom strategy-slot key root
 NEXT_KEY = 20       # ProposalContext.next_key substream
 EVAL = 21           # stochastic (pseudo-marginal) likelihood evaluations
+MIGRATE = 22        # fused-path migration draws (exchange fired by `fire`)
 
 
 def step_key(base_key: jax.Array, iteration) -> jax.Array:

@@ -41,11 +41,13 @@ class SamplerState(NamedTuple):
     plain pytree: trivially checkpointable and shardable.
     """
 
-    theta: jax.Array          # [G, Np, d]
-    weight: jax.Array         # [G, Np]
+    theta: jax.Array          # [G, Np, d] ([d, 8, C/8] on the fused path)
+    weight: jax.Array         # [G, Np]    ([8, C/8] fused)
     key: jax.Array            # base PRNG key (counter-based derivation)
     iteration: jax.Array      # scalar int32, 1-based, reference `de.iter`
     history: Optional[jax.Array]  # [H, C, d] past states, or None
+    fire: Optional[jax.Array] = None  # fused path only: next iteration's
+    #   migration gate (drawn one step ahead inside the kernel)
 
 
 class StepOutput(NamedTuple):
@@ -91,7 +93,8 @@ def _spec_key(spec: ParamSpec):
             spec.lo.tobytes(), spec.hi.tobytes())
 
 
-def build_step(model: DEModel, de: DE, spec: ParamSpec):
+def build_step(model: DEModel, de: DE, spec: ParamSpec,
+               allow_fused: bool = True):
     """Build the fused one-iteration step function (pure, jittable).
 
     All randomness for one iteration comes from a single :class:`rng.Pool`
@@ -100,25 +103,150 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec):
     — per-call ``jax.random`` kernels were the dominant per-iteration cost
     at small populations.
 
+    On TPU, configurations the whole-step Pallas kernel supports
+    (``ops/fused_step.py``: default proposals, no snooker/resample/blocks,
+    MH, f32) get the fused step instead — ONE kernel per iteration, with
+    the state carried in the kernel's ``[d, C]`` layout (the returned
+    function has ``.fused = True`` plus ``to_fused``/``from_fused``
+    converters).  ``allow_fused=False`` forces the XLA step (required
+    under a device mesh — the Pallas kernel is single-device).
+
     The built step is cached on the model per (de, spec): repeated
     ``sample``/``optimize`` calls with the same configuration reuse one
     function object, so the driver's jitted scans hit the compile cache
     instead of recompiling every call.
     """
+    from .ops import fused_step as fused_mod
+    allow_fused = allow_fused and fused_mod.supported(model, de, spec)
     try:
         cache = model.__dict__.setdefault("_step_cache", {})
         # the frozen content key, NOT the DE object: distinct-but-equal DE
         # configs with ndarray blocks would hash equal but make the dict's
         # __eq__ fallback raise the ambiguous-array ValueError
-        cache_key = (de._static_key(), _spec_key(spec))
+        cache_key = (de._static_key(), _spec_key(spec), allow_fused)
         hash(cache_key)
     except TypeError:
         cache, cache_key = None, None
     if cache is not None and cache_key in cache:
         return cache[cache_key]
-    step = _build_step_uncached(model, de, spec)
+    step = None
+    if allow_fused:
+        try:
+            step = _build_fused_wrapped(model, de, spec)
+        except Exception as e:                   # unsupported-op fallback
+            import warnings
+            warnings.warn(f"fused step unavailable ({e}); using XLA step")
+    if step is None:
+        step = _build_step_uncached(model, de, spec)
     if cache is not None:
         cache[cache_key] = step
+    return step
+
+
+def _raw_key(key):
+    """PRNG key as its raw uint32 words (old- or new-style keys)."""
+    if jnp.issubdtype(key.dtype, jnp.integer):
+        return key.astype(jnp.uint32)
+    return jax.random.key_data(key).astype(jnp.uint32)
+
+
+def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
+    """Wrap the whole-step Pallas kernel as a scan-compatible step over a
+    fused-layout :class:`SamplerState` (theta ``[d, 8, C/8]``, weight
+    ``[8, C/8]`` — the kernel's sublane×lane chain packing, chain
+    c ↔ (c // (C/8), c mod (C/8)) — and ``fire`` = next iteration's
+    migration gate; ``fire is not None`` marks a fused-layout state)."""
+    from .ops import fused_step as fused_mod
+    kernel_call = fused_mod.build_fused_step(model, de, spec)
+    # post-burnin specialization of random_gamma (γ₂ = 0 ⇒ no softmax
+    # base-select); dispatched below on the deterministic it > burnin
+    post_call = None
+    if de.generate_proposal in (proposal_ops.random_gamma, "random_gamma"):
+        post_call = fused_mod.build_fused_step(model, de, spec,
+                                               post_burnin=True)
+    G, Np, d = de.n_groups, de.Np, spec.dim
+    C = G * Np
+    R = fused_mod._R
+    Cf = C // R
+    alpha = float(de.alpha) if G > 1 else 0.0
+    burnin = int(de.burnin)
+
+    def step(state: SamplerState, _=None):
+        it = state.iteration
+        theta3, w3 = state.theta, state.weight
+        key2 = _raw_key(state.key)
+
+        def mig(t3, w3):
+            # migration BEFORE the update, like the reference
+            # (src/main.jl:85); the Bernoulli(α) gate was drawn by the
+            # PREVIOUS kernel invocation and carried in `fire`
+            tg = jnp.transpose(t3.reshape(d, G, Np), (1, 2, 0))
+            wg = w3.reshape(G, Np)
+            kd = rng.KeyDraws(jax.random.fold_in(
+                rng.step_key(state.key, it), rng.MIGRATE))
+            tgn, wgn = migration_ops.migrate(kd, tg, wg, G)
+            return (jnp.transpose(tgn, (2, 0, 1)).reshape(d, R, Cf),
+                    wgn.reshape(R, Cf))
+
+        def br(kern, migrate):
+            def f(a):
+                t3, w3 = (mig(a[0], a[1]) if migrate else (a[0], a[1]))
+                return kern(t3, w3, key2, it)
+            return f
+
+        # ONE data-dependent branch per step: every extra lax.cond on
+        # this path is a pipeline sync (~1 µs measured), so the migration
+        # gate and the burnin-phase kernel choice are merged into a
+        # single lax.switch
+        fired = state.fire.reshape(()) > 0 if alpha > 0.0 else None
+        args = (theta3, w3)
+        if post_call is None and fired is None:
+            new_t, new_w, acc, fire = kernel_call(theta3, w3, key2, it)
+        elif post_call is None:
+            new_t, new_w, acc, fire = jax.lax.cond(
+                fired, br(kernel_call, True), br(kernel_call, False), args)
+        elif fired is None:
+            new_t, new_w, acc, fire = jax.lax.cond(
+                it > burnin, br(post_call, False), br(kernel_call, False),
+                args)
+        else:
+            idx = (fired.astype(jnp.int32) * 2
+                   + (it > burnin).astype(jnp.int32))
+            new_t, new_w, acc, fire = jax.lax.switch(
+                idx, [br(kernel_call, False), br(post_call, False),
+                      br(kernel_call, True), br(post_call, True)], args)
+        new_state = SamplerState(theta=new_t, weight=new_w, key=state.key,
+                                 iteration=it + 1, history=None, fire=fire)
+        # outputs stay in kernel layout ([d,R,Cf] / [R,Cf]) through the
+        # scan — relayout to flat chains happens ONCE post-scan in
+        # ``sample`` rather than per iteration
+        out = StepOutput(theta=new_t, accept=acc, lp=new_w)
+        return new_state, out
+
+    def to_fused(state: SamplerState) -> SamplerState:
+        if state.fire is not None:
+            return state
+        theta3 = state.theta.reshape(C, d).T.reshape(d, R, Cf)
+        w3 = state.weight.reshape(R, Cf)
+        # first iteration's migration gate (subsequent gates come from the
+        # kernel's look-ahead draw; carried through checkpoints for
+        # bitwise resume)
+        fire = jax.random.bernoulli(
+            jax.random.fold_in(rng.step_key(state.key, state.iteration),
+                               rng.MIGRATE + 1), alpha)
+        return state._replace(theta=theta3, weight=w3,
+                              fire=fire.reshape(1, 1).astype(jnp.int32))
+
+    def from_fused(state: SamplerState) -> SamplerState:
+        if state.fire is None:
+            return state
+        return state._replace(
+            theta=state.theta.reshape(d, C).T.reshape(G, Np, d),
+            weight=state.weight.reshape(G, Np), fire=None)
+
+    step.fused = True
+    step.to_fused = to_fused
+    step.from_fused = from_fused
     return step
 
 
@@ -471,10 +599,29 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     if thin > 1 and de.discard_burnin and de.burnin % thin:
         raise ValueError(f"burnin ({de.burnin}) must be divisible by "
                          f"thin ({thin})")
-    step = build_step(model, de, spec)
+    # the Pallas fused step is single-device; force the XLA step on a mesh
+    step = build_step(model, de, spec, allow_fused=mesh is None)
+    fused = getattr(step, "fused", False)
+    if fused:
+        state = step.to_fused(state)      # no-op on a fused-layout resume
+    elif state.fire is not None:          # fused checkpoint, XLA run
+        G, Np = de.n_groups, de.Np
+        state = state._replace(
+            theta=state.theta.reshape(spec.dim, -1).T.reshape(
+                G, Np, spec.dim),
+            weight=state.weight.reshape(G, Np), fire=None)
     state, ys = run_scan(step, state, n_iter, progress=progress,
                          checkpoint_every=checkpoint_every,
                          checkpoint_path=checkpoint_path, thin=thin)
+    if fused and ys is not None:
+        # kernel layout [T, d, 8, C/8] -> the bundling layout [T, C, d]
+        T = ys.theta.shape[0]
+        ys = ys._replace(
+            theta=np.swapaxes(np.reshape(ys.theta, (T, spec.dim, -1)),
+                              1, 2),
+            accept=np.reshape(ys.accept, (T, -1)),
+            lp=np.reshape(ys.lp, (T, -1)))
+        state = step.from_fused(state)
 
     chains = bundle_samples(model, de, spec, ys, n_iter, thin=thin)
     if return_state:

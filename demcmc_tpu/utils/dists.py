@@ -9,6 +9,8 @@ priors) so the model zoo reads like the reference examples.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import jax.scipy.stats as jss
@@ -25,7 +27,9 @@ def cauchy_logpdf(x, loc=0.0, scale=1.0):
 def halfcauchy_logpdf(x, scale=1.0):
     """truncated(Cauchy(0, scale), 0, Inf) — the reference's favorite scale
     prior.  log 2 + Cauchy logpdf for x >= 0, -inf below."""
-    lp = jnp.log(2.0) + jss.cauchy.logpdf(x, 0.0, scale)
+    # python-float constant (not jnp.log(2.0)): under x64 the latter
+    # traces an f64 log op, which blocks the fused Pallas path (f32-only)
+    lp = math.log(2.0) + jss.cauchy.logpdf(x, 0.0, scale)
     return jnp.where(x >= 0, lp, -jnp.inf)
 
 

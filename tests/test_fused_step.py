@@ -1,0 +1,157 @@
+"""Tests for the whole-step fused Pallas kernel (``ops/fused_step.py``).
+
+On CPU the kernel runs under the Mosaic TPU interpreter
+(``DEMCMC_FUSED=interpret``) with threefry bits fed in as a kernel input;
+the real TPU path differs only in sourcing bits from the hardware PRNG
+(same consuming logic), so everything except the bit source is exercised
+here.  Reference semantics under test: the micro-stack of
+``src/crossover.jl:12-99`` + ``src/utilities.jl:92-99,201-210``.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import jax
+
+from demcmc_tpu import DE, sample
+from demcmc_tpu.models import gaussian
+from demcmc_tpu.ops import fused_step
+from demcmc_tpu.sampler import build_step, make_spec
+
+F32_DATA = np.asarray(
+    np.random.default_rng(3).normal(0.0, 1.0, 50), np.float32)
+
+
+def _make(**kw):
+    kw.setdefault("Np", 4)
+    kw.setdefault("n_groups", 32)
+    kw.setdefault("burnin", 500)
+    return gaussian.make(data=F32_DATA, **kw)
+
+
+@pytest.fixture()
+def interpret(monkeypatch):
+    monkeypatch.setenv("DEMCMC_FUSED", "interpret")
+
+
+def test_supported_predicate(interpret):
+    model, de = _make()
+    spec = make_spec(model, de)
+    assert fused_step.supported(model, de, spec)
+    # each exclusion individually
+    for bad in (dict(generate_proposal="snooker"),
+                dict(sample="resample"),
+                dict(blocking_on=True,
+                     blocks=[[True, False], [False, True]]),
+                dict(Np=2),                      # < 3 partners impossible
+                dict(Np=5, n_groups=25),         # C % 128 != 0
+                dict(dtype=np.float64)):
+        m2, d2 = _make(**bad)
+        assert not fused_step.supported(m2, d2, make_spec(m2, d2)), bad
+
+
+def test_build_step_picks_fused(interpret):
+    model, de = _make()
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    # and the same model+config cached
+    assert build_step(model, de, spec) is step
+
+
+@pytest.mark.slow
+def test_gaussian_posterior_matches_oracle(interpret):
+    model, de = _make()
+    chains = sample(model, de, 2500, key=11)
+    ref = gaussian.posterior_grid(F32_DATA)
+    means = chains.data.mean(axis=(0, 2))
+    stds = chains.data.std(axis=(0, 2))
+    assert abs(means[0] - ref["mu"]["mean"]) < 0.02
+    assert abs(means[1] - ref["sigma"]["mean"]) < 0.02
+    assert abs(stds[0] - ref["mu"]["std"]) < 0.02
+    assert abs(stds[1] - ref["sigma"]["std"]) < 0.02
+    assert 0.2 < chains.acceptance.mean() < 0.9
+
+
+@pytest.mark.slow
+def test_migration_path_statistical(interpret):
+    model, de = _make(alpha=1.0, burnin=300)     # migrate EVERY iteration
+    chains = sample(model, de, 1500, key=7)
+    ref = gaussian.posterior_grid(F32_DATA)
+    means = chains.data.mean(axis=(0, 2))
+    assert abs(means[0] - ref["mu"]["mean"]) < 0.03
+    assert abs(means[1] - ref["sigma"]["mean"]) < 0.03
+
+
+def test_knob_branches(interpret):
+    # epsilon-noise + recombination + mutation branches all active
+    model, de = _make(epsilon=0.001, kappa=0.9, beta=0.01,
+                      burnin=300)
+    chains = sample(model, de, 1200, key=13)
+    ref = gaussian.posterior_grid(F32_DATA)
+    means = chains.data.mean(axis=(0, 2))
+    assert abs(means[0] - ref["mu"]["mean"]) < 0.04
+    assert abs(means[1] - ref["sigma"]["mean"]) < 0.04
+
+
+@pytest.mark.slow
+def test_fixed_and_variable_gamma(interpret):
+    """Pure-DE modes (no γ₂ base attraction) leave heavy-tail outlier
+    chains decaying slowly at these lengths, so compare MEDIANS (robust;
+    the XLA path shows the same mean inflation at this config)."""
+    from demcmc_tpu import fixed_gamma, variable_gamma
+    for gp in (fixed_gamma, variable_gamma):
+        model, de = _make(generate_proposal=gp, burnin=300)
+        chains = sample(model, de, 1200, key=17)
+        ref = gaussian.posterior_grid(F32_DATA)
+        med = np.median(chains.data, axis=(0, 2))
+        assert abs(med[0] - ref["mu"]["mean"]) < 0.05, gp.__name__
+        assert abs(med[1] - ref["sigma"]["mean"]) < 0.06, gp.__name__
+
+
+def test_determinism(interpret):
+    model, de = _make(burnin=100, alpha=0.3)
+    c1 = sample(model, de, 300, key=5)
+    c2 = sample(model, de, 300, key=5)
+    assert np.array_equal(c1.data, c2.data)
+
+
+def test_resume_bitwise(interpret):
+    model, de = _make(burnin=100, alpha=0.3, discard_burnin=False)
+    full = sample(model, de, 400, key=9)
+    _, st = sample(model, de, 200, key=9, return_state=True)
+    tail = sample(model, de, 200, key=9, state=st)
+    assert np.array_equal(full.data[-len(tail):], tail.data)
+
+
+@pytest.mark.slow
+def test_fused_matches_xla_statistically(interpret, monkeypatch):
+    """Fused and XLA paths use different RNG streams but must target the
+    same posterior."""
+    model, de = _make(burnin=500)
+    fused = sample(model, de, 2500, key=21)
+    monkeypatch.setenv("DEMCMC_FUSED", "off")
+    model2, de2 = _make(burnin=500)
+    xla = sample(model2, de2, 2500, key=21)
+    np.testing.assert_allclose(fused.data.mean(axis=(0, 2)),
+                               xla.data.mean(axis=(0, 2)), atol=0.03)
+    np.testing.assert_allclose(fused.data.std(axis=(0, 2)),
+                               xla.data.std(axis=(0, 2)), atol=0.03)
+
+
+def test_f64_model_falls_back(interpret):
+    """x64 data traces f64 ops: the fused build must refuse and fall back
+    to the XLA step rather than produce a wrong-dtype kernel."""
+    data64 = np.asarray(F32_DATA, np.float64)
+    model, de = _make()
+    model = gaussian.make_model(jax.numpy.asarray(data64))
+    spec = make_spec(model, de)
+    if not fused_step.supported(model, de, spec):
+        pytest.skip("f64 refused statically")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        step = build_step(model, de, spec)
+    assert not getattr(step, "fused", False)
+    assert any("fused step unavailable" in str(x.message) for x in w)
