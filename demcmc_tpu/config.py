@@ -38,6 +38,10 @@ def _default_blocking_on(de) -> bool:
     return False
 
 
+def _always_blocking_on(de) -> bool:
+    return True
+
+
 @dataclass(frozen=True)
 class DE:
     """Differential Evolution MCMC sampler configuration.
@@ -90,6 +94,14 @@ class DE:
             object.__setattr__(self, "sample", proposals.sample_current)
         elif self.sample == "resample":
             object.__setattr__(self, "sample", proposals.resample)
+        if isinstance(self.blocking_on, bool):
+            # the reference slot is a callable of the sampler view
+            # (structs.jl:71-76); accept plain bools as the constant
+            # functions (module-level, so content-equal configs still
+            # hash equal for the step cache)
+            object.__setattr__(self, "blocking_on",
+                               _always_blocking_on if self.blocking_on
+                               else _default_blocking_on)
         if self.uses_resample and self.Np < 3:
             raise ValueError("Np must be >= 3 when sample=resample")
         if self.blocks is not None:
