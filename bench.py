@@ -53,16 +53,21 @@ def bench_model(model, de, n_iter=20000):
     # warmup with the SAME scan length so the timed call hits the cache
     n = jnp.zeros(n_iter, jnp.int8)
     s = run(state, n)
-    jax.block_until_ready(s.theta)
+    jax.block_until_ready(s)
 
-    # best-of-3: the tunneled dispatch adds +-10% run-to-run noise
-    best = float("inf")
+    # median-of-3 with full-state blocking: blocking on a single output
+    # leaf once produced a physically impossible 144 µs reading for a
+    # 5000-iteration scan over the async tunnel (min-of-3 then kept it);
+    # the median of full-tree-blocked reps is robust to both tails
+    times = []
     for _ in range(3):
         t0 = time.perf_counter()
         s = run(s, n)
-        jax.block_until_ready(s.theta)
-        best = min(best, time.perf_counter() - t0)
-    return n_iter * de.n_chains / best
+        jax.block_until_ready(s)
+        times.append(time.perf_counter() - t0)
+    t = sorted(times)[1]
+    assert t > 1e-3, f"implausible timing {times} (async dispatch leak?)"
+    return n_iter * de.n_chains / t
 
 
 def main():

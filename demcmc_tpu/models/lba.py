@@ -30,6 +30,31 @@ def _Phi(x):
     return jss.norm.cdf(x)
 
 
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _Phi_phi(x):
+    """Φ(x) and φ(x) sharing ONE exp(-x²/2).
+
+    Φ = 0.5·erfc(-x/√2) with erfc via Abramowitz & Stegun 7.1.26, whose
+    exponential exp(-(x/√2)²) IS φ's — so the pair costs one exp, one
+    divide and a 5-term polynomial instead of the erf rational (12-term,
+    own divide) PLUS a separate exp.  |Φ error| < 7.5e-8 absolute (at
+    f32 εmach); deep-tail relative error matches the f32 cancellation
+    the 1−cdf survivor computation incurs anyway (densities are clipped
+    at 1e-30 downstream).  This is the hot function of the LBA density —
+    4 (Φ, φ) pairs per trial per chain — and is shared by the XLA and
+    fused-kernel paths."""
+    e = jnp.exp(-0.5 * x * x)
+    t = 1.0 / (1.0 + 0.3275911 * (jnp.abs(x) * _INV_SQRT2))
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    half_erfc = 0.5 * e * poly           # erfc(|x|/√2) / 2
+    Phi = jnp.where(x >= 0, 1.0 - half_erfc, half_erfc)
+    return Phi, _INV_SQRT_2PI * e
+
+
 def lba_pdf_cdf(t, nu, b, A, s=1.0):
     """Defective first-passage density f_i(t) and CDF F_i(t) of one LBA
     accumulator at decision time t (post-τ).  Broadcasts over accumulators.
@@ -37,11 +62,12 @@ def lba_pdf_cdf(t, nu, b, A, s=1.0):
     ts = t * s
     z1 = (b - A - t * nu) / ts
     z2 = (b - t * nu) / ts
-    pdf = (1.0 / A) * (-nu * _Phi(z1) + s * _phi(z1)
-                       + nu * _Phi(z2) - s * _phi(z2))
-    cdf = (1.0 + ((b - A - t * nu) / A) * _Phi(z1)
-           - ((b - t * nu) / A) * _Phi(z2)
-           + (ts / A) * _phi(z1) - (ts / A) * _phi(z2))
+    P1, p1 = _Phi_phi(z1)
+    P2, p2 = _Phi_phi(z2)
+    pdf = (1.0 / A) * (-nu * P1 + s * p1 + nu * P2 - s * p2)
+    cdf = (1.0 + ((b - A - t * nu) / A) * P1
+           - ((b - t * nu) / A) * P2
+           + (ts / A) * p1 - (ts / A) * p2)
     return pdf, cdf
 
 
@@ -135,8 +161,8 @@ def make(data=None, key=0, n_trials=100, Np=15, n_groups=3, burnin=1500,
             nui = nu[i][None]                         # [1, *cs]
             z1 = (k[None] - ts * nui) * inv_ts        # (b - A - t nu)/ts
             z2 = (b[None] - ts * nui) * inv_ts
-            P1, P2 = _Phi(z1), _Phi(z2)
-            p1, p2 = _phi(z1), _phi(z2)
+            P1, p1 = _Phi_phi(z1)
+            P2, p2 = _Phi_phi(z2)
             pdf = inv_A * (-nui * P1 + p1 + nui * P2 - p2)
             cdf = (1.0 + (k[None] - ts * nui) * inv_A * P1
                    - (b[None] - ts * nui) * inv_A * P2

@@ -86,8 +86,8 @@ def supported(model, de, spec) -> bool:
         return False
     if de.sample not in (proposal_ops.sample_current, "sample"):
         return False
-    if de.uses_resample or de.uses_snooker or de.blocks is not None:
-        return False
+    if de.uses_resample or de.blocks is not None:
+        return False              # snooker IS supported (in-kernel branch)
     if not de.is_mh or de.evaluate_fitness not in (
             "posterior", accept_ops.compute_posterior):
         return False
@@ -216,6 +216,7 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
     beta = float(de.beta)
     sigma = float(de.sigma)
     alpha = float(de.alpha) if G > 1 else 0.0
+    theta_s = float(de.theta_snooker)      # per-CHAIN snooker probability
     burnin = int(de.burnin)
     gp = de.generate_proposal
     is_random_gamma = gp in (proposal_ops.random_gamma, "random_gamma")
@@ -528,6 +529,8 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
     n_words = 2                                       # partner draws
     if is_random_gamma:
         n_words += 1 if post_burnin else 3            # (u_base, g2,) g1
+    if theta_s > 0.0:
+        n_words += 5                                  # z/m/n, γ, gate
     if eps > 0.0:
         n_words += d
     if kappa < 1.0:
@@ -633,12 +636,51 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
         else:
             prop = theta + np.float32(fixed_g1) * (pm - pn)
 
+        log_adj = None
+        if theta_s > 0.0:
+            # ---- snooker branch, mixed per chain with prob θsnooker
+            # (crossover.jl:239-257 + the (d−1)-log-norm MH correction
+            # of crossover.jl:268-273).  3 distinct draws INCLUDING self.
+            az = randint(1, Np)
+            bz = randint(1, Np - 1)
+            cz = randint(1, Np - 2)
+            bz = bz + (bz >= az)
+            lo_i = jnp.minimum(az, bz)
+            hi_i = jnp.maximum(az, bz)
+            cz = cz + (cz >= lo_i)
+            cz = cz + (cz >= hi_i)
+            pz = _seg_gather(rolls, az, p, Np)
+            pm2 = _seg_gather(rolls, bz, p, Np)
+            pn2 = _seg_gather(rolls, cz, p, Np)
+            pd = theta - pz                         # [d, R, Cf]
+            den0 = jnp.sum(pd * pd, axis=0)         # ‖θ−z‖², [R, Cf]
+            degen = den0 <= np.float32(np.finfo(np.float32).tiny)
+            safe_pd = jnp.where(degen, np.float32(1.0), pd)
+            dens = jnp.sum(safe_pd * safe_pd, axis=0)
+            r1 = (jnp.sum(pm2 * safe_pd, axis=0) / dens) * safe_pd
+            r2 = (jnp.sum(pn2 * safe_pd, axis=0) / dens) * safe_pd
+            gsn = uni(1) + np.float32(1.2)          # γ ~ U(1.2, 2.2)
+            sn_gate = uni(1) <= np.float32(theta_s)
+            prop = jnp.where(sn_gate, theta + gsn * (r1 - r2), prop)
+
         if eps > 0.0:
             prop = prop + (uni(d) * np.float32(2 * eps)
                            - np.float32(eps))
         if kappa < 1.0:                            # recombination
             keep = uni(d) > np.float32(1.0 - kappa)
             prop = jnp.where(keep, prop, theta)
+
+        if theta_s > 0.0:
+            # degenerate z == θ draws propose θ exactly (explicit reject
+            # via -inf adj, replacing the reference's accidental-NaN
+            # reject); correction computed on the FINAL proposal like
+            # crossover.jl:84-87, as 0.5(d−1)(log‖θ'−z‖² − log‖θ−z‖²)
+            prop = jnp.where(sn_gate & degen, theta, prop)
+            a1sq = jnp.sum((prop - pz) * (prop - pz), axis=0)
+            adj = (np.float32(0.5 * (d - 1))
+                   * (jnp.log(a1sq) - jnp.log(den0)))
+            adj = jnp.where(degen, -jnp.inf, adj)
+            log_adj = jnp.where(sn_gate, adj, np.float32(0.0))
 
         if beta > 0.0:                             # β-mutation per group
             gate = uni(1)
@@ -648,8 +690,10 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
             u2 = uni(d)
             nrm = jnp.sqrt(np.float32(-2.0) * jnp.log(u1)) \
                 * jnp.cos(np.float32(2.0 * np.pi) * u2)
-            prop = jnp.where(gate <= np.float32(beta),
-                             theta + np.float32(sigma) * nrm, prop)
+            mut = gate <= np.float32(beta)
+            prop = jnp.where(mut, theta + np.float32(sigma) * nrm, prop)
+            if log_adj is not None:                # mutation: no snooker
+                log_adj = jnp.where(mut, np.float32(0.0), log_adj)
 
         # ---- fitness: bounds + user log posterior (utilities.jl:92-99) ---
         # per-dimension scalar-literal bounds (array bounds would be
@@ -667,7 +711,10 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
         # ---- MH accept in log space (utilities.jl:201-210) ---------------
         u = jnp.maximum(uni(1),
                         np.float32(np.finfo(np.float32).tiny))
-        acc = jnp.log(u) <= (w_prop - w)
+        delta = w_prop - w
+        if log_adj is not None:
+            delta = delta + log_adj
+        acc = jnp.log(u) <= delta
         out_t_ref[:] = jnp.where(acc, prop, theta)
         out_w_ref[:] = jnp.where(acc, w_prop, w)
         out_acc_ref[:] = acc

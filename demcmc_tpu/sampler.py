@@ -104,7 +104,7 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec,
     at small populations.
 
     On TPU, configurations the whole-step Pallas kernel supports
-    (``ops/fused_step.py``: default proposals, no snooker/resample/blocks,
+    (``ops/fused_step.py``: default proposals incl. snooker, no resample/blocks,
     MH, f32) get the fused step instead — ONE kernel per iteration, with
     the state carried in the kernel's ``[d, C]`` layout (the returned
     function has ``.fused = True`` plus ``to_fused``/``from_fused``

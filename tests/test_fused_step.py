@@ -40,6 +40,9 @@ def test_supported_predicate(interpret):
     model, de = _make()
     spec = make_spec(model, de)
     assert fused_step.supported(model, de, spec)
+    # snooker MIXING (theta_snooker > 0) is supported in-kernel
+    ms, ds = _make(theta_snooker=0.1)
+    assert fused_step.supported(ms, ds, make_spec(ms, ds))
     # each exclusion individually
     for bad in (dict(generate_proposal="snooker"),
                 dict(sample="resample"),
@@ -109,6 +112,25 @@ def test_fixed_and_variable_gamma(interpret):
         med = np.median(chains.data, axis=(0, 2))
         assert abs(med[0] - ref["mu"]["mean"]) < 0.05, gp.__name__
         assert abs(med[1] - ref["sigma"]["mean"]) < 0.06, gp.__name__
+
+
+@pytest.mark.slow
+def test_snooker_statistical(interpret):
+    """The in-kernel snooker branch (θsnooker=0.3, so ~30% of all moves
+    carry the (d−1)-log-norm MH correction) must leave the posterior
+    intact — a wrong correction visibly biases σ at these lengths."""
+    model, de = _make(theta_snooker=0.3, burnin=400)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    chains = sample(model, de, 2000, key=29)
+    ref = gaussian.posterior_grid(F32_DATA)
+    means = chains.data.mean(axis=(0, 2))
+    stds = chains.data.std(axis=(0, 2))
+    assert abs(means[0] - ref["mu"]["mean"]) < 0.03
+    assert abs(means[1] - ref["sigma"]["mean"]) < 0.03
+    assert abs(stds[0] - ref["mu"]["std"]) < 0.03
+    assert abs(stds[1] - ref["sigma"]["std"]) < 0.03
 
 
 def test_determinism(interpret):
