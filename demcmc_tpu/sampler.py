@@ -17,6 +17,7 @@ The reference's ``MCMCThreads`` thread-per-group backend
 from __future__ import annotations
 
 import math
+import time
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -539,6 +540,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
 
     outs = []
     done = 0
+    t0 = done0 = None
     while done < n_iter:
         n = min(chunk, n_iter - done)
         state, ys = run_chunk(state, n)
@@ -546,8 +548,18 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
             outs.append(jax.device_get(ys))
         done += n
         if progress:
-            print(f"\r[demcmc_tpu] {done * thin}/{n_iter_real} iterations",
-                  end="", flush=True)
+            # rate/ETA like the reference's ProgressMeter (main.jl:30) —
+            # clocked from the END of the first chunk so the one-time jit
+            # compile doesn't poison the estimate
+            if t0 is None:
+                t0, done0, tail = time.perf_counter(), done, ""
+            else:
+                rate = ((done - done0) * thin
+                        / max(time.perf_counter() - t0, 1e-9))
+                eta = (n_iter - done) * thin / max(rate, 1e-9)
+                tail = f"  ({rate:,.0f} it/s, ETA {eta:,.1f}s)"
+            print(f"\r[demcmc_tpu] {done * thin}/{n_iter_real} iterations"
+                  f"{tail}", end="", flush=True)
         if (checkpoint_every and checkpoint_path
                 and done % checkpoint_every == 0):
             from .utils.checkpoint import save_state
