@@ -41,17 +41,33 @@ def bench_model(model, de, n_iter=20000):
     spec = make_spec(model, de)
     state = init_state(model, de, spec, key=0)
     step = build_step(model, de, spec)
+    sup = None
     if getattr(step, "fused", False):      # whole-step Pallas kernel path
         state = step.to_fused(state)
+        sup = step.get_superstep()         # K iterations per kernel launch
 
-    @jax.jit
-    def run(s, dummy):
-        s, ys = jax.lax.scan(lambda c, _: (step(c)[0], None), s, None,
-                             length=dummy.shape[0], unroll=2)
-        return s
+    if sup is not None:
+        k = step.superstep_k
+        assert n_iter % k == 0
+
+        @jax.jit
+        def run(s, dummy):
+            s, _ = jax.lax.scan(lambda c, _: (sup(c)[0], None), s, None,
+                                length=dummy.shape[0])
+            return s
+
+        scan_len = n_iter // k
+    else:
+        @jax.jit
+        def run(s, dummy):
+            s, ys = jax.lax.scan(lambda c, _: (step(c)[0], None), s, None,
+                                 length=dummy.shape[0], unroll=2)
+            return s
+
+        scan_len = n_iter
 
     # warmup with the SAME scan length so the timed call hits the cache
-    n = jnp.zeros(n_iter, jnp.int8)
+    n = jnp.zeros(scan_len, jnp.int8)
     s = run(state, n)
     jax.block_until_ready(s)
 
@@ -110,20 +126,37 @@ def main():
     state_e = init_state(model_e, de_e, spec_e, key=1)
     step_e = build_step(model_e, de_e, spec_e)
     fused_e = getattr(step_e, "fused", False)
+    sup_e = None
     if fused_e:
         state_e = step_e.to_fused(state_e)
+        sup_e = step_e.get_superstep()
     n_ess = 1200
+    n_tot = de_e.burnin + n_ess
 
-    @jax.jit
-    def run_ess(s, dummy):
-        s, ys = jax.lax.scan(step_e, s, None, length=dummy.shape[0],
-                             unroll=2)
-        # fused layout stacks [draws, d, 8, C/8]; XLA [draws, chains, d]
-        mu = (ys.theta[de_e.burnin:, 0].reshape(n_ess, -1) if fused_e
-              else ys.theta[de_e.burnin:, :, 0])
-        return ess_device(mu)
+    if sup_e is not None:
+        k_e = step_e.superstep_k
+        assert n_tot % k_e == 0
 
-    ne = jnp.zeros(de_e.burnin + n_ess, jnp.int8)
+        @jax.jit
+        def run_ess(s, dummy):
+            s, ys = jax.lax.scan(sup_e, s, None, length=dummy.shape[0])
+            # ys.theta [S, K, d, 8, C/8] -> [draws, d, 8, C/8]
+            th = ys.theta.reshape((n_tot,) + ys.theta.shape[2:])
+            mu = th[de_e.burnin:, 0].reshape(n_ess, -1)
+            return ess_device(mu)
+
+        ne = jnp.zeros(n_tot // k_e, jnp.int8)
+    else:
+        @jax.jit
+        def run_ess(s, dummy):
+            s, ys = jax.lax.scan(step_e, s, None, length=dummy.shape[0],
+                                 unroll=2)
+            # fused layout stacks [draws, d, 8, C/8]; XLA [draws, chains, d]
+            mu = (ys.theta[de_e.burnin:, 0].reshape(n_ess, -1) if fused_e
+                  else ys.theta[de_e.burnin:, :, 0])
+            return ess_device(mu)
+
+        ne = jnp.zeros(n_tot, jnp.int8)
     e = run_ess(state_e, ne)
     jax.block_until_ready(e)
     t0 = time.perf_counter()

@@ -5,9 +5,13 @@ per iteration (threefry pool, one-hot gathers, fitness, accept, ...); at
 4k chains each kernel is ~1 µs of fixed launch overhead against ~100 ns
 of arithmetic, so the step is kernel-count bound (measured 12 µs/step on
 a v5e — see NOTES.md).  This module fuses the ENTIRE iteration —
-proposal, partner selection, bounds, the user log-posterior, and the MH
-accept — into ONE Pallas kernel, with migration kept outside under its
-(probability-α) ``lax.cond``.
+migration (for G ≤ ``MIG_MAX_G``), proposal, partner selection, bounds,
+the user log-posterior, and the MH accept — into ONE Pallas kernel, and
+runs ``K`` iterations per launch (``SUPER_K`` supersteps, the population
+carried in VMEM scratch across a sequential grid), so neither the
+migration gate nor the γ₂-burnin phase needs an XLA-level branch
+(each ``lax.cond``/``switch`` on this path costs a ~1 µs pipeline sync):
+both are in-kernel ``pl.when`` regions.
 
 Reference semantics preserved (``src/crossover.jl:12-99``,
 ``src/utilities.jl:92-99,201-210``): per-cell iid base/partner draws,
@@ -66,6 +70,20 @@ except Exception:                                        # pragma: no cover
 
 
 _R = 8          # f32 sublane count: chains pack as [_R, C // _R]
+
+# Above this group count the in-kernel migration's [G, G] rank/route
+# matrices stop fitting comfortably in VMEM; larger configs keep the XLA
+# migration outside the kernel under a lax.cond (ops/migration.py's
+# O(G log G) index routing).
+MIG_MAX_G = 1024
+
+# iterations per kernel launch on the superstep path (build_fused_step K):
+# per-iteration cost is launch-overhead bound, so one launch runs K
+# iterations with the population carried in VMEM scratch.  Bitwise
+# equality with K single-iteration launches is guaranteed (the hardware
+# PRNG is re-seeded per (key, iteration) inside the grid loop) and
+# regression-tested.
+SUPER_K = 8
 
 
 def _mode():
@@ -189,18 +207,154 @@ def _seg_gather(rolls, idx, p, Np):
 # kernel builder
 # ---------------------------------------------------------------------------
 
-def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
+def _mig_apply(theta, w, u_col, na_f, gum, p, *, G, Np, Gr):
+    """The reference migration (``src/migration.jl:11-91``) on the
+    packed population: N ~ U{2..G} groups (uniform ranks ``u_col``),
+    victim per group ∝ softmax(-w) (Gumbel-max), circular shift of
+    victims along the rank order.  Routing runs in group space via
+    one-hot contractions at ``Precision.HIGHEST`` — bitexact for 0/1
+    operands (verified on-chip), preserving the weight ==
+    logpost(theta) invariant.  -inf weights ride a separate flag
+    column (a matmul would produce 0·inf = NaN)."""
+    d, R, Cf = theta.shape
+    dt = theta.dtype
+    HIGH = jax.lax.Precision.HIGHEST
+    inf32 = np.float32(np.inf)
+    ones = jnp.ones((G, 1), dt)
+
+    def brow(col):                  # [G,1] -> [G,G]: out[i,j]=col[j]
+        return jax.lax.dot_general(ones, col, (((1,), (1,)), ((), ())),
+                                   precision=HIGH)
+
+    def bcol(col):                  # [G,1] -> [G,G]: out[i,j]=col[i]
+        return jax.lax.dot_general(col, ones, (((1,), (1,)), ((), ())),
+                                   precision=HIGH)
+
+    # rank of each group's uniform (ties broken by index: a strict
+    # total order, so ranks are a permutation — select_groups,
+    # migration.jl:31-35 draws the subset; the first N ranks are it)
+    I2 = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    J2 = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    Uj, Ui = brow(u_col), bcol(u_col)
+    less = (Uj < Ui) | ((Uj == Ui) & (J2 < I2))
+    rank = jnp.sum(less.astype(dt), axis=1, keepdims=True)    # [G,1]
+    na_col = jax.lax.dot_general(ones, na_f, (((1,), (1,)), ((), ())),
+                                 precision=HIGH)              # [G,1]
+    active = rank < na_col
+    # rank r receives from rank (r-1) mod N among the active; inactive
+    # groups self-route (identity)
+    src = jnp.where(active,
+                    jnp.where(rank >= 1.0, rank - 1.0, na_col - 1.0),
+                    rank)
+    route = (brow(rank) == bcol(src)).astype(dt)              # [G,G]
+
+    # victim per group: Gumbel-max over -w (select_particle,
+    # migration.jl:64-70; -inf weight -> +inf logit, picked first)
+    s = gum - w
+    m = _seg_last_bcast(_seg_scan(s, p, Np, jnp.maximum), p, Np)
+    cand = jnp.where(s == m, p, Np)
+    vid = _seg_last_bcast(_seg_scan(cand, p, Np, jnp.minimum), p, Np)
+    vmask = p == vid                                          # [R,Cf]
+
+    neg = (w == -inf32).astype(dt)
+    wf = jnp.where(w == -inf32, jnp.zeros_like(w), w)
+    quants = [theta[i] for i in range(d)] + [wf, neg]
+    Dq = d + 2
+
+    def vict(q):                    # victim value bcast over its group
+        z = jnp.where(vmask, q, jnp.zeros_like(q))
+        return _seg_last_bcast(_seg_scan(z, p, Np, jnp.add), p, Np)
+
+    vsel = [vict(q) for q in quants]
+
+    # compact victim values to group space [G, Dq]: one dot per
+    # sublane row against a static leader-lane one-hot
+    gI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 0)
+    lI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 1)
+    sel = jnp.zeros((G, Dq), dt)
+    for r in range(R):
+        P_r = (((gI // Gr) == r)
+               & (lI == (gI % Gr) * Np)).astype(dt)           # [G,Cf]
+        V_r = jnp.concatenate([q[r:r + 1, :] for q in vsel], axis=0)
+        sel = sel + jax.lax.dot_general(
+            P_r, V_r, (((1,), (1,)), ((), ())), precision=HIGH)
+    routed = jax.lax.dot_general(route, sel, (((1,), (0,)), ((), ())),
+                                 precision=HIGH)              # [G,Dq]
+
+    # expand back to lane space (every lane of group g gets routed[g])
+    rowI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 0)
+    exp = [jnp.zeros((R, Cf), dt) for _ in range(Dq)]
+    for r in range(R):
+        Q_r = (gI == (r * Gr + lI // Np)).astype(dt)          # [G,Cf]
+        E_r = jax.lax.dot_general(routed, Q_r, (((0,), (0,)), ((), ())),
+                                  precision=HIGH)             # [Dq,Cf]
+        mrow = (rowI == r).astype(dt)
+        for q in range(Dq):
+            exp[q] = exp[q] + mrow * E_r[q:q + 1, :]
+
+    # each group's victim slot receives its source group's victim
+    # (shift_particles!, migration.jl:84-91); self-routes are no-ops
+    new_theta = jnp.concatenate(
+        [jnp.where(vmask, exp[i], theta[i])[None] for i in range(d)],
+        axis=0)
+    w_routed = jnp.where(exp[d + 1] > np.float32(0.5), -inf32, exp[d])
+    new_w = jnp.where(vmask, w_routed, w)
+    return new_theta, new_w
+
+
+def build_migration_kernel(G, Np, d, interpret=True):
+    """Standalone kernel around :func:`_mig_apply` for exactness tests
+    (interpret mode on CPU; real lowering for the on-chip bitexactness
+    check).  Inputs are the raw migration draws, so a numpy oracle can
+    compute the expected output deterministically:
+
+    ``(theta3 [d,R,Cf], w3 [R,Cf], u_col [G,1] uniforms, na_f [1,1]
+    N-as-float, gum [R,Cf] gumbels) -> (new_theta3, new_w3)``.
+    """
+    C = G * Np
+    R = _R
+    Cf = C // R
+    Gr = Cf // Np
+    dt = jnp.float32
+
+    def kernel(t_ref, w_ref, u_ref, na_ref, g_ref, out_t, out_w):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
+        p = lane % Np
+        nt, nw = _mig_apply(t_ref[:], w_ref[:], u_ref[:], na_ref[:],
+                            g_ref[:], p, G=G, Np=Np, Gr=Gr)
+        out_t[:] = nt
+        out_w[:] = nw
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((d, R, Cf), dt),
+                   jax.ShapeDtypeStruct((R, Cf), dt)),
+        interpret=pltpu.InterpretParams() if interpret else False)
+
+
+def build_fused_step(model, de, spec, interpret=None, K=1,
+                     mig_in_kernel=False):
     """Returns ``kernel_call(theta3 [d,R,Cf], weight3 [R,Cf], key2 [2]
-    uint32, it scalar) -> (new_theta3, new_weight3, accept [R,Cf] bool,
-    fire [1,1])`` — the fused iteration in the sublane-packed chain
-    layout (R=8 rows, Cf=C/8 lanes; chain c ↔ row c//Cf, lane c%Cf).
+    uint32, it scalar, fire [1,1] int32) -> (theta_traj [K,d,R,Cf],
+    w_traj [K,R,Cf], accept [K,R,Cf] bool, fire_out [1,1])`` — ``K``
+    fused iterations per kernel launch in the sublane-packed chain
+    layout (R=8 rows, Cf=C/8 lanes; chain c ↔ row c//Cf, lane c%Cf),
+    with the population carried across the grid in VMEM scratch.
     Raises on trace failure (caller falls back).
 
-    ``post_burnin=True`` builds the it > burnin specialization of
-    ``random_gamma`` (γ₂ = 0, crossover.jl:164): the softmax base-select
-    machinery is omitted entirely.  The wrapper dispatches between the
-    two kernels on ``it > burnin`` — a static schedule, so determinism
-    and bitwise resume are unaffected.
+    The γ₂-burnin phase switch of ``random_gamma`` (crossover.jl:164)
+    runs IN-kernel under ``pl.when(it <= burnin)`` — the softmax
+    base-select machinery costs nothing once past burnin, and no
+    XLA-level ``lax.cond`` (a ~1 µs pipeline sync per step, NOTES.md) is
+    needed.  With ``mig_in_kernel=True`` the reference's migration
+    (``src/migration.jl:11-91``: N ~ U{2..G} groups, inverse-softmax
+    victims, circular shift) also runs in-kernel under
+    ``pl.when(fire != 0)`` — rank/route/one-hot matmuls in group space
+    at ``Precision.HIGHEST`` (bitexact for 0/1 operands, verified
+    on-chip) — so a ``K``-iteration launch needs no data-dependent
+    branching at all.  ``fire`` is the look-ahead Bernoulli(α) gate for
+    the FIRST grid step; each step draws the next gate into SMEM
+    scratch and the last step exports it.
     """
     if interpret is None:
         interpret = _mode() == "interpret"
@@ -208,6 +362,8 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
     C = G * Np
     R = _R
     Cf = C // R
+    Gr = Cf // Np                     # groups per sublane row (G == R·Gr)
+    HIGH = jax.lax.Precision.HIGHEST  # bitexact one-hot contractions
     dt = jnp.float32
     lo_b = np.asarray(spec.lo, np.float32).reshape(d, 1)
     hi_b = np.asarray(spec.hi, np.float32).reshape(d, 1)
@@ -218,6 +374,13 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
     alpha = float(de.alpha) if G > 1 else 0.0
     theta_s = float(de.theta_snooker)      # per-CHAIN snooker probability
     burnin = int(de.burnin)
+    mig_in_kernel = bool(mig_in_kernel) and alpha > 0.0
+    if mig_in_kernel and G > MIG_MAX_G:
+        raise ValueError(f"in-kernel migration capped at G={MIG_MAX_G} "
+                         f"([G, G] routing matrices); got G={G}")
+    if K > 1 and alpha > 0.0 and not mig_in_kernel:
+        raise ValueError("K > 1 with alpha > 0 requires in-kernel "
+                         "migration (the gate is data-dependent)")
     gp = de.generate_proposal
     is_random_gamma = gp in (proposal_ops.random_gamma, "random_gamma")
     if gp in (proposal_ops.fixed_gamma, "fixed_gamma"):
@@ -522,13 +685,19 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
                     env2[s] = o
         return dec(_lp_out_op)
 
+
     # bit-consumption rows per iteration, [W, C] uint32 — mirrors the
     # kernel's static draw order (used by the interpret path, which feeds
     # threefry bits from outside: the Mosaic interpreter stubs the
-    # hardware PRNG to zeros)
-    n_words = 2                                       # partner draws
+    # hardware PRNG to zeros).  All draws are UNCONDITIONAL — pl.when
+    # gates only compute, never draws — so the stream layout is static
+    # regardless of migration fires or the burnin phase.
+    n_words = 0
+    if mig_in_kernel:
+        n_words += 3                                  # ranks, N, gumbel
+    n_words += 2                                      # partner draws
     if is_random_gamma:
-        n_words += 1 if post_burnin else 3            # (u_base, g2,) g1
+        n_words += 3                                  # u_base, g1, g2
     if theta_s > 0.0:
         n_words += 5                                  # z/m/n, γ, gate
     if eps > 0.0:
@@ -540,25 +709,43 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
     n_words += 1                                      # accept
     n_words += 1                                      # fire look-ahead
 
-    def kernel(it_ref, key_ref, *refs):
+    tiny = np.float32(np.finfo(np.float32).tiny)
+    inf32 = np.float32(np.inf)
+
+
+    n_scratch = 4 if is_random_gamma else 3
+
+    def kernel(it_ref, key_ref, fire_in_ref, *refs):
         if interpret:
             bits_ref, refs = refs[0], refs[1:]
-        (ship_refs, (theta_ref, w_ref, out_t_ref, out_w_ref,
-                     out_acc_ref, out_fire_ref)) = \
-            refs[:len(ship)], refs[len(ship):]
+        ship_refs = refs[:len(ship)]
+        (theta_ref, w_ref, out_t_ref, out_w_ref, out_acc_ref,
+         out_fire_ref) = refs[len(ship):len(ship) + 6]
+        scratch = refs[len(ship) + 6:]
+        if is_random_gamma:
+            theta_sc, w_sc, bterm_sc, fire_sc = scratch
+        else:
+            theta_sc, w_sc, fire_sc = scratch
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            theta_sc[:] = theta_ref[:]
+            w_sc[:] = w_ref[:]
+            fire_sc[0] = fire_in_ref[0]
+
         ship_vals = [ref[:] for ref in ship_refs]
+        it = it_ref[0] + k
         if not interpret:
             # libtpu supports at most 2 seed words — fold the iteration
             # into both words (golden-ratio odd multiplier) instead of
-            # passing it as a third
-            mixed = (it_ref[0].astype(jnp.uint32)
-                     * np.uint32(0x9E3779B9))
+            # passing it as a third; re-seeded per grid step, so a
+            # K-iteration launch is bitwise identical to K launches
+            mixed = (it.astype(jnp.uint32) * np.uint32(0x9E3779B9))
             pltpu.prng_seed(key_ref[0] ^ mixed,
                             key_ref[1] + mixed + np.uint32(1))
-        it = it_ref[0]
-        theta = theta_ref[:]                       # [d, R, Cf]
-        w = w_ref[:]                               # [R, Cf]
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
+        rowI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 0)
         p = lane % Np                              # within-group slot
 
         row_at = [0]                               # static bit-row cursor
@@ -570,29 +757,62 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
             if interpret:
                 r0 = row_at[0]
                 row_at[0] = r0 + rows
-                flat = bits_ref[r0:r0 + rows, :]   # [rows, C]
+                flat = bits_ref[pl.ds(k * n_words + r0, rows), :]
                 shape = (R, Cf) if rows == 1 else (rows, R, Cf)
                 return flat.reshape(shape)
             bits = pltpu.bitcast(pltpu.prng_random_bits((rows * R, Cf)),
                                  jnp.uint32)
             return bits if rows == 1 else bits.reshape(rows, R, Cf)
 
-        def uni(rows):
+        def take_flat(n):
+            # n fresh words as an [n, 1] column (consumes one row)
+            if interpret:
+                r0 = row_at[0]
+                row_at[0] = r0 + 1
+                row = bits_ref[pl.ds(k * n_words + r0, 1), :]   # [1, C]
+                return row[:, :n].reshape(n, 1)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((n, 128)),
+                                 jnp.uint32)
+            return bits[:, :1]
+
+        def to_uni(bits):
             # uint32 -> f32 value casts are not a Mosaic-supported
             # conversion; build the float by bit-surgery instead
             # (mantissa | exponent-of-1 gives [1, 2), like jax.random):
             # 23-bit granularity vs the XLA pool's 24 — immaterial, the
             # two paths are different streams anyway (module docstring)
-            mant = take(rows) >> 9
+            mant = bits >> 9
             one = jnp.full(mant.shape, 0x3F800000, jnp.uint32)
             return pltpu.bitcast(mant | one, dt) - np.float32(1.0)
+
+        def uni(rows):
+            return to_uni(take(rows))
 
         def randint(rows, span):
             return pltpu.bitcast(take(rows) % np.uint32(span),
                                  jnp.int32)
 
+        # ---- migration BEFORE the update (main.jl:85), in-kernel under
+        # the look-ahead Bernoulli(α) gate; draws are unconditional ------
+        if mig_in_kernel:
+            u_col = to_uni(take_flat(G))
+            nb = take_flat(1)
+            na_f = (pltpu.bitcast(nb % np.uint32(G - 1), jnp.int32)
+                    .astype(dt) + np.float32(2.0))            # [1,1]
+            gum = -jnp.log(-jnp.log(jnp.maximum(uni(1), tiny)))
+
+            @pl.when(fire_sc[0] != 0)
+            def _():
+                nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_col, na_f,
+                                    gum, p, G=G, Np=Np, Gr=Gr)
+                theta_sc[:] = nt
+                w_sc[:] = nw
+
+        theta = theta_sc[:]                        # [d, R, Cf]
+        w = w_sc[:]                                # [R, Cf]
+
         # ---- partner indices: 2 distinct non-self draws (shift trick,
-        # crossover.jl:138-140 semantics) -----------------------------------
+        # crossover.jl:138-140 semantics) ---------------------------------
         m = Np - 1
         a = randint(1, m)
         b = randint(1, m - 1)
@@ -604,35 +824,42 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
         pm = _seg_gather(rolls, a, p, Np)          # [d, R, Cf]
         pn = _seg_gather(rolls, b, p, Np)
 
-        if is_random_gamma and not post_burnin:
-            # ---- base select ∝ softmax(weight) over the group
-            # (crossover.jl:282-289) via segmented inverse-CDF ------------
-            mx = _seg_last_bcast(_seg_scan(w, p, Np, jnp.maximum), p, Np)
-            e = jnp.exp(w - jnp.where(jnp.isfinite(mx), mx, 0.0))
-            q = _seg_scan(e, p, Np, jnp.add)       # group CDF
-            tot = _seg_last_bcast(q, p, Np)
-            u_b = jnp.maximum(uni(1), np.float32(np.finfo(np.float32).tiny)) * tot
-            # count of group members with cdf < u — enumerate members via
-            # the roll dictionary of q
-            q_rolls = _roll_dict(q, Np)
-            cnt = jnp.zeros((R, Cf), jnp.int32)
-            for o in range(Np):
-                lo, hi = q_rolls[o]
-                member = jnp.where(p + o < Np, lo, hi)
-                cnt = cnt + (member < u_b).astype(jnp.int32)
-            bidx = jnp.minimum(cnt, Np - 1)
-            base = _seg_gather(rolls, bidx, p, Np)
-
+        if is_random_gamma:
+            u_b = uni(1)
             g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
             g2 = uni(1) * np.float32(0.5) + np.float32(0.5)
-            g2 = jnp.where(it > burnin, np.float32(0.0), g2)
-            prop = theta + g1 * (pm - pn) + g2 * (base - theta)
-        elif is_random_gamma:
-            # post-burnin specialization (dispatched by the wrapper's
-            # ``it > burnin`` cond): γ₂ = 0 EXACTLY per crossover.jl:164,
-            # so the whole softmax base-select stack is dead code here
-            g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
-            prop = theta + g1 * (pm - pn)
+
+            # ---- base select ∝ softmax(weight) over the group
+            # (crossover.jl:282-289) via segmented inverse-CDF; γ₂ = 0
+            # EXACTLY once it > burnin (crossover.jl:164), so the whole
+            # softmax stack is gated off in-kernel — same cost as the old
+            # dedicated post-burnin kernel, without an XLA-level branch
+            @pl.when(it <= burnin)
+            def _():
+                mx = _seg_last_bcast(_seg_scan(w, p, Np, jnp.maximum),
+                                     p, Np)
+                e = jnp.exp(w - jnp.where(jnp.isfinite(mx), mx,
+                                          jnp.zeros_like(mx)))
+                q = _seg_scan(e, p, Np, jnp.add)   # [G, Np] group CDF
+                tot = _seg_last_bcast(q, p, Np)
+                u_bs = jnp.maximum(u_b, tiny) * tot
+                # count of group members with cdf < u — enumerate members
+                # via the roll dictionary of q
+                q_rolls = _roll_dict(q, Np)
+                cnt = jnp.zeros((R, Cf), jnp.int32)
+                for o in range(Np):
+                    lo, hi = q_rolls[o]
+                    member = jnp.where(p + o < Np, lo, hi)
+                    cnt = cnt + (member < u_bs).astype(jnp.int32)
+                bidx = jnp.minimum(cnt, Np - 1)
+                base = _seg_gather(rolls, bidx, p, Np)
+                bterm_sc[:] = g2 * (base - theta)
+
+            @pl.when(it > burnin)
+            def _():
+                bterm_sc[:] = jnp.zeros((d, R, Cf), dt)
+
+            prop = theta + g1 * (pm - pn) + bterm_sc[:]
         else:
             prop = theta + np.float32(fixed_g1) * (pm - pn)
 
@@ -654,7 +881,7 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
             pn2 = _seg_gather(rolls, cz, p, Np)
             pd = theta - pz                         # [d, R, Cf]
             den0 = jnp.sum(pd * pd, axis=0)         # ‖θ−z‖², [R, Cf]
-            degen = den0 <= np.float32(np.finfo(np.float32).tiny)
+            degen = den0 <= tiny
             safe_pd = jnp.where(degen, np.float32(1.0), pd)
             dens = jnp.sum(safe_pd * safe_pd, axis=0)
             r1 = (jnp.sum(pm2 * safe_pd, axis=0) / dens) * safe_pd
@@ -685,8 +912,7 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
         if beta > 0.0:                             # β-mutation per group
             gate = uni(1)
             gate = _seg_leader_bcast(gate, p, Np)  # one draw per group
-            u1 = jnp.maximum(uni(d),
-                             np.float32(np.finfo(np.float32).tiny))
+            u1 = jnp.maximum(uni(d), tiny)
             u2 = uni(d)
             nrm = jnp.sqrt(np.float32(-2.0) * jnp.log(u1)) \
                 * jnp.cos(np.float32(2.0 * np.pi) * u2)
@@ -709,34 +935,58 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
         w_prop = jnp.where(inb & ~jnp.isnan(lp), lp, -jnp.inf)
 
         # ---- MH accept in log space (utilities.jl:201-210) ---------------
-        u = jnp.maximum(uni(1),
-                        np.float32(np.finfo(np.float32).tiny))
+        u = jnp.maximum(uni(1), tiny)
         delta = w_prop - w
         if log_adj is not None:
             delta = delta + log_adj
         acc = jnp.log(u) <= delta
-        out_t_ref[:] = jnp.where(acc, prop, theta)
-        out_w_ref[:] = jnp.where(acc, w_prop, w)
-        out_acc_ref[:] = acc
+        new_t = jnp.where(acc, prop, theta)
+        new_w = jnp.where(acc, w_prop, w)
+        theta_sc[:] = new_t
+        w_sc[:] = new_w
+        out_t_ref[0] = new_t
+        out_w_ref[0] = new_w
+        out_acc_ref[0] = acc
         # migration gate for the NEXT iteration (main.jl:85's rand() <= α,
         # drawn one step ahead so the decision costs no extra kernel)
-        u_fire = uni(1)[:1, :1]
-        fire = (u_fire <= np.float32(alpha)) if alpha > 0.0 \
-            else jnp.zeros((1, 1), bool)
-        out_fire_ref[:] = fire.astype(jnp.int32)
+        u_fire = uni(1)
+        if alpha > 0.0:
+            gbit = ((u_fire <= np.float32(alpha))
+                    & (rowI == 0) & (lane == 0))
+            fire_sc[0] = jnp.sum(gbit.astype(jnp.int32))
+        else:
+            fire_sc[0] = jnp.int32(0)
+
+        @pl.when(k == K - 1)
+        def _():
+            out_fire_ref[0] = fire_sc[0]
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+
+    def vfull():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = ([smem(), smem(), smem()]           # it0, key, fire_in
+                + ([vfull()] if interpret else [])
+                + [vfull() for _ in ship] + [vfull(), vfull()])
+    out_specs = (pl.BlockSpec((1, d, R, Cf), lambda k: (k, 0, 0, 0)),
+                 pl.BlockSpec((1, R, Cf), lambda k: (k, 0, 0)),
+                 pl.BlockSpec((1, R, Cf), lambda k: (k, 0, 0)),
+                 smem())
+    scratch_shapes = [pltpu.VMEM((d, R, Cf), dt), pltpu.VMEM((R, Cf), dt)]
+    if is_random_gamma:
+        scratch_shapes.append(pltpu.VMEM((d, R, Cf), dt))   # bterm
+    scratch_shapes.append(pltpu.SMEM((1,), jnp.int32))      # fire
     call = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((d, R, Cf), dt),
-                   jax.ShapeDtypeStruct((R, Cf), dt),
-                   jax.ShapeDtypeStruct((R, Cf), bool),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-        in_specs=[smem((1,)), smem((2,))]
-        + ([vmem()] if interpret else [])
-        + [vmem() for _ in ship] + [vmem(), vmem()],
-        out_specs=(vmem(), vmem(), vmem(), vmem()),
+        grid=(K,),
+        out_shape=(jax.ShapeDtypeStruct((K, d, R, Cf), dt),
+                   jax.ShapeDtypeStruct((K, R, Cf), dt),
+                   jax.ShapeDtypeStruct((K, R, Cf), bool),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
         # the TPU-specific interpreter (plain interpret=True lacks rules
         # for pltpu primitives: prng_seed, roll, ...)
         interpret=pltpu.InterpretParams() if interpret else False,
@@ -748,15 +998,20 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
             vmem_limit_bytes=64 * 1024 * 1024),
     )
 
-    def kernel_call(theta3, weight3, key2, it):
+    def kernel_call(theta3, weight3, key2, it, fire):
+        it32 = it.astype(jnp.int32)
         extra = ()
         if interpret:
             key = jax.random.wrap_key_data(key2, impl="threefry2x32")
-            extra = (jax.random.bits(jax.random.fold_in(key, it),
-                                     (n_words, C), jnp.uint32),)
-        return call(it.reshape(1).astype(jnp.int32),
-                    key2.astype(jnp.uint32), *extra,
-                    *[jnp.asarray(a) for a in ship], theta3, weight3)
+            bits = [jax.random.bits(jax.random.fold_in(key, it32 + kk),
+                                    (n_words, C), jnp.uint32)
+                    for kk in range(K)]
+            extra = (jnp.concatenate(bits, axis=0),)
+        t, wout, a, f = call(it32.reshape(1), key2.astype(jnp.uint32),
+                             fire.reshape(1).astype(jnp.int32), *extra,
+                             *[jnp.asarray(x) for x in ship],
+                             theta3, weight3)
+        return t, wout, a, f.reshape(1, 1)
 
     # surface unsupported-op errors at build time so the caller can fall
     # back to the XLA step: on the real path, LOWER through the Mosaic
@@ -767,9 +1022,12 @@ def build_fused_step(model, de, spec, interpret=None, post_burnin=False):
     shapes = (jax.ShapeDtypeStruct((d, R, Cf), dt),
               jax.ShapeDtypeStruct((R, Cf), dt),
               jax.ShapeDtypeStruct((2,), jnp.uint32),
-              jax.ShapeDtypeStruct((), jnp.int32))
+              jax.ShapeDtypeStruct((), jnp.int32),
+              jax.ShapeDtypeStruct((1, 1), jnp.int32))
     if interpret:
         jax.eval_shape(kernel_call, *shapes)
     else:
         jax.jit(kernel_call).lower(*shapes)
+    kernel_call.n_words = n_words
+    kernel_call.K = K
     return kernel_call

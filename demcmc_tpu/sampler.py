@@ -156,73 +156,107 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     fused-layout :class:`SamplerState` (theta ``[d, 8, C/8]``, weight
     ``[8, C/8]`` — the kernel's sublane×lane chain packing, chain
     c ↔ (c // (C/8), c mod (C/8)) — and ``fire`` = next iteration's
-    migration gate; ``fire is not None`` marks a fused-layout state)."""
+    migration gate; ``fire is not None`` marks a fused-layout state).
+
+    Migration and the γ₂-burnin phase switch run IN-kernel (see
+    ``ops/fused_step.py``), so for G ≤ ``MIG_MAX_G`` the step has no
+    data-dependent ``lax.cond`` at all — and a K-iteration "superstep"
+    kernel (``step.get_superstep()``) amortizes the per-launch overhead
+    across ``SUPER_K`` iterations, bitwise identical to K single steps.
+    Above ``MIG_MAX_G`` the [G, G] in-kernel routing no longer pays and
+    migration stays outside on the XLA path under a 2-way cond."""
     from .ops import fused_step as fused_mod
-    kernel_call = fused_mod.build_fused_step(model, de, spec)
-    # post-burnin specialization of random_gamma (γ₂ = 0 ⇒ no softmax
-    # base-select); dispatched below on the deterministic it > burnin
-    post_call = None
-    if de.generate_proposal in (proposal_ops.random_gamma, "random_gamma"):
-        post_call = fused_mod.build_fused_step(model, de, spec,
-                                               post_burnin=True)
     G, Np, d = de.n_groups, de.Np, spec.dim
     C = G * Np
     R = fused_mod._R
     Cf = C // R
     alpha = float(de.alpha) if G > 1 else 0.0
-    burnin = int(de.burnin)
+    mig_ik = 0.0 < alpha and 2 <= G <= fused_mod.MIG_MAX_G
+    try:
+        k1 = fused_mod.build_fused_step(model, de, spec, K=1,
+                                        mig_in_kernel=mig_ik)
+    except Exception:
+        if not mig_ik:
+            raise
+        # in-kernel migration failed to lower; retry with migration on
+        # the XLA path (density build errors re-raise below and the
+        # caller falls back to the XLA step)
+        mig_ik = False
+        k1 = fused_mod.build_fused_step(model, de, spec, K=1,
+                                        mig_in_kernel=False)
 
-    def step(state: SamplerState, _=None):
+    def mig(state, t3, w3):
+        # big-G path only: XLA migration BEFORE the update, like the
+        # reference (src/main.jl:85); the Bernoulli(α) gate was drawn by
+        # the PREVIOUS kernel invocation and carried in `fire`
         it = state.iteration
-        theta3, w3 = state.theta, state.weight
+        tg = jnp.transpose(t3.reshape(d, G, Np), (1, 2, 0))
+        wg = w3.reshape(G, Np)
+        kd = rng.KeyDraws(jax.random.fold_in(
+            rng.step_key(state.key, it), rng.MIGRATE))
+        tgn, wgn = migration_ops.migrate(kd, tg, wg, G)
+        return (jnp.transpose(tgn, (2, 0, 1)).reshape(d, R, Cf),
+                wgn.reshape(R, Cf))
+
+    def _call(kern, state):
+        it = state.iteration
         key2 = _raw_key(state.key)
+        if mig_ik or alpha == 0.0:
+            return kern(state.theta, state.weight, key2, it, state.fire)
+        # G > MIG_MAX_G: one data-dependent branch (a ~1 µs pipeline
+        # sync) gating the XLA migration
+        fired = state.fire.reshape(()) > 0
 
-        def mig(t3, w3):
-            # migration BEFORE the update, like the reference
-            # (src/main.jl:85); the Bernoulli(α) gate was drawn by the
-            # PREVIOUS kernel invocation and carried in `fire`
-            tg = jnp.transpose(t3.reshape(d, G, Np), (1, 2, 0))
-            wg = w3.reshape(G, Np)
-            kd = rng.KeyDraws(jax.random.fold_in(
-                rng.step_key(state.key, it), rng.MIGRATE))
-            tgn, wgn = migration_ops.migrate(kd, tg, wg, G)
-            return (jnp.transpose(tgn, (2, 0, 1)).reshape(d, R, Cf),
-                    wgn.reshape(R, Cf))
-
-        def br(kern, migrate):
-            def f(a):
-                t3, w3 = (mig(a[0], a[1]) if migrate else (a[0], a[1]))
-                return kern(t3, w3, key2, it)
+        def br(migrate):
+            def f(args):
+                t3, w3 = (mig(state, *args) if migrate else args)
+                return kern(t3, w3, key2, it, state.fire)
             return f
 
-        # ONE data-dependent branch per step: every extra lax.cond on
-        # this path is a pipeline sync (~1 µs measured), so the migration
-        # gate and the burnin-phase kernel choice are merged into a
-        # single lax.switch
-        fired = state.fire.reshape(()) > 0 if alpha > 0.0 else None
-        args = (theta3, w3)
-        if post_call is None and fired is None:
-            new_t, new_w, acc, fire = kernel_call(theta3, w3, key2, it)
-        elif post_call is None:
-            new_t, new_w, acc, fire = jax.lax.cond(
-                fired, br(kernel_call, True), br(kernel_call, False), args)
-        elif fired is None:
-            new_t, new_w, acc, fire = jax.lax.cond(
-                it > burnin, br(post_call, False), br(kernel_call, False),
-                args)
-        else:
-            idx = (fired.astype(jnp.int32) * 2
-                   + (it > burnin).astype(jnp.int32))
-            new_t, new_w, acc, fire = jax.lax.switch(
-                idx, [br(kernel_call, False), br(post_call, False),
-                      br(kernel_call, True), br(post_call, True)], args)
+        return jax.lax.cond(fired, br(True), br(False),
+                            (state.theta, state.weight))
+
+    def step(state: SamplerState, _=None):
+        t, wout, acc, fire = _call(k1, state)
+        new_t, new_w = t[0], wout[0]
         new_state = SamplerState(theta=new_t, weight=new_w, key=state.key,
-                                 iteration=it + 1, history=None, fire=fire)
+                                 iteration=state.iteration + 1,
+                                 history=None, fire=fire)
         # outputs stay in kernel layout ([d,R,Cf] / [R,Cf]) through the
         # scan — relayout to flat chains happens ONCE post-scan in
         # ``sample`` rather than per iteration
-        out = StepOutput(theta=new_t, accept=acc, lp=new_w)
+        out = StepOutput(theta=new_t, accept=acc[0], lp=new_w)
         return new_state, out
+
+    _super = []
+
+    def get_superstep():
+        """The K-iteration superstep (or None if unavailable): scan ys
+        carry a leading [SUPER_K] axis; bitwise identical to SUPER_K
+        single steps (same per-iteration hardware-PRNG seeding)."""
+        if not (mig_ik or alpha == 0.0):
+            return None                  # data-dependent XLA migration
+        if not _super:
+            try:
+                kk = fused_mod.build_fused_step(
+                    model, de, spec, K=fused_mod.SUPER_K,
+                    mig_in_kernel=mig_ik)
+            except Exception:
+                _super.append(None)
+            else:
+                def superstep(state: SamplerState, _=None):
+                    t, wout, acc, fire = _call(kk, state)
+                    new_state = SamplerState(
+                        theta=t[-1], weight=wout[-1], key=state.key,
+                        iteration=state.iteration + fused_mod.SUPER_K,
+                        history=None, fire=fire)
+                    return new_state, StepOutput(theta=t, accept=acc,
+                                                 lp=wout)
+                _super.append(superstep)
+        return _super[0]
+
+    step.superstep_k = fused_mod.SUPER_K
+    step.get_superstep = get_superstep
 
     def to_fused(state: SamplerState) -> SamplerState:
         if state.fire is not None:
@@ -529,8 +563,43 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
                                 unroll=min(unroll, n_steps_dummy.shape[0]))
         jit_cache[variant] = chunk_scan
 
+    # superstep path (fused kernel only): one kernel launch per SUPER_K
+    # iterations, bitwise identical to SUPER_K single steps; the leading
+    # [S, K, ...] ys axes flatten to iterations inside the jit
+    sup_k = getattr(base_step, "superstep_k", 0)
+    sup_fn = None
+    if sup_k and thin == 1 and collect and n_iter >= sup_k:
+        sup_fn = base_step.get_superstep()
+    super_scan = None
+    if sup_fn is not None:
+        super_scan = jit_cache.get("super")
+        if super_scan is None:
+            @jax.jit
+            def super_scan(s, n_dummy):
+                s, ys = jax.lax.scan(sup_fn, s, None,
+                                     length=n_dummy.shape[0])
+                ys = jax.tree.map(
+                    lambda a: a.reshape((a.shape[0] * a.shape[1],)
+                                        + a.shape[2:]), ys)
+                return s, ys
+            jit_cache["super"] = super_scan
+
     def run_chunk(s, n):
         return chunk_scan(s, jnp.zeros((n,), jnp.int8))
+
+    def run_steps(s, n):
+        """n iterations as supersteps + a remainder of single steps."""
+        pieces = []
+        if super_scan is not None:
+            ns, n = divmod(n, sup_k)
+            if ns:
+                s, ys = super_scan(s, jnp.zeros((ns,), jnp.int8))
+                pieces.append(ys)
+        if n:
+            s, ys = run_chunk(s, n)
+            if collect:
+                pieces.append(ys)
+        return s, pieces
 
     chunk = n_iter
     if checkpoint_every and checkpoint_every > 0:
@@ -543,9 +612,9 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     t0 = done0 = None
     while done < n_iter:
         n = min(chunk, n_iter - done)
-        state, ys = run_chunk(state, n)
+        state, pieces = run_steps(state, n)
         if collect:
-            outs.append(jax.device_get(ys))
+            outs.extend(jax.device_get(y) for y in pieces)
         done += n
         if progress:
             # rate/ETA like the reference's ProgressMeter (main.jl:30) —

@@ -177,3 +177,122 @@ def test_f64_model_falls_back(interpret):
         step = build_step(model, de, spec)
     assert not getattr(step, "fused", False)
     assert any("fused step unavailable" in str(x.message) for x in w)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel migration: exactness against a numpy oracle of the reference
+# semantics (src/migration.jl:11-91), and superstep bitwise equivalence
+# ---------------------------------------------------------------------------
+
+def _np_migration_oracle(theta, w, u, n_act, gum):
+    """Reference migration in numpy: ranks of ``u`` (ties by index) pick
+    the first ``n_act`` groups; victim per group = argmax(gum - w)
+    (first index on ties); rank r's victim slot receives the victim of
+    rank (r-1) mod n_act.  theta [G,Np,d], w [G,Np], u [G], gum [G,Np]."""
+    G, Np, d = theta.shape
+    order = np.lexsort((np.arange(G), u))     # u asc, ties by index
+    rank = np.empty(G, int)
+    rank[order] = np.arange(G)
+    s = gum - w
+    vid = np.argmax(s, axis=1)                # first max index
+    new_theta, new_w = theta.copy(), w.copy()
+    for g in range(G):
+        r = rank[g]
+        if r >= n_act:
+            continue
+        src_g = order[(r - 1) % n_act]
+        new_theta[g, vid[g]] = theta[src_g, vid[src_g]]
+        new_w[g, vid[g]] = w[src_g, vid[src_g]]
+    return new_theta, new_w
+
+
+def _pack(x, d, R, Cf):
+    return np.ascontiguousarray(x.reshape(-1, d).T.reshape(d, R, Cf))
+
+
+def _run_mig_kernel(theta, w, u, n_act, gum, interpret=True):
+    G, Np, d = theta.shape
+    C = G * Np
+    R, Cf = 8, C // 8
+    t3 = _pack(theta.astype(np.float32), d, R, Cf)
+    w3 = w.astype(np.float32).reshape(R, Cf)
+    kern = fused_step.build_migration_kernel(G, Np, d, interpret=interpret)
+    nt, nw = jax.jit(kern)(t3, w3,
+                           u.astype(np.float32).reshape(G, 1),
+                           np.float32(n_act).reshape(1, 1),
+                           gum.astype(np.float32).reshape(R, Cf))
+    nt = np.asarray(nt).reshape(d, C).T.reshape(G, Np, d)
+    return nt, np.asarray(nw).reshape(G, Np)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_in_kernel_migration_matches_oracle(interpret, seed):
+    """The in-kernel migration must be EXACTLY the reference permutation:
+    bitwise-equal particle copies (one-hot matmuls at HIGHEST precision),
+    correct rank cycle, correct Gumbel-max victims, -inf weights ride
+    along unchanged."""
+    rng_ = np.random.default_rng(seed)
+    G, Np, d = 32, 4, 3
+    theta = (rng_.standard_normal((G, Np, d)) * 1e3
+             + rng_.random((G, Np, d)) * 1e-4).astype(np.float32)
+    w = rng_.standard_normal((G, Np)).astype(np.float32)
+    w[rng_.random((G, Np)) < 0.1] = -np.inf   # -inf weights in play
+    u = rng_.random(G).astype(np.float32)
+    gum = rng_.gumbel(size=(G, Np)).astype(np.float32)
+    n_act = int(rng_.integers(2, G + 1))
+
+    got_t, got_w = _run_mig_kernel(theta, w, u, n_act, gum)
+    want_t, want_w = _np_migration_oracle(theta, w, u, n_act, gum)
+    np.testing.assert_array_equal(got_t, want_t)
+    np.testing.assert_array_equal(got_w, want_w)
+
+
+def test_in_kernel_migration_multiset(interpret):
+    """Population multiset is preserved (migration only permutes)."""
+    rng_ = np.random.default_rng(7)
+    G, Np, d = 64, 8, 2
+    theta = rng_.standard_normal((G, Np, d)).astype(np.float32)
+    w = rng_.standard_normal((G, Np)).astype(np.float32)
+    u = rng_.random(G).astype(np.float32)
+    gum = rng_.gumbel(size=(G, Np)).astype(np.float32)
+    got_t, got_w = _run_mig_kernel(theta, w, u, G, gum)
+    flat_in = np.concatenate([theta.reshape(-1, d), w.reshape(-1, 1)], 1)
+    flat_out = np.concatenate([got_t.reshape(-1, d), got_w.reshape(-1, 1)],
+                              1)
+    order_in = np.lexsort(flat_in.T)
+    order_out = np.lexsort(flat_out.T)
+    np.testing.assert_array_equal(flat_in[order_in], flat_out[order_out])
+
+
+def test_superstep_bitwise_equals_single_steps(interpret):
+    """A SUPER_K-iteration kernel launch must be bitwise identical to
+    SUPER_K single-iteration launches (per-iteration PRNG seeding)."""
+    model, de = _make(burnin=100, alpha=0.3)
+    c1 = sample(model, de, 320, key=5)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert step.get_superstep() is not None
+    step.get_superstep = lambda: None       # force single-step scans
+    step._scan_jit_cache.clear()
+    c2 = sample(model, de, 320, key=5)
+    assert np.array_equal(c1.data, c2.data)
+    assert np.array_equal(c1.acceptance, c2.acceptance)
+
+
+@pytest.mark.tpu
+def test_in_kernel_migration_bitexact_on_tpu():
+    """On-chip run of the oracle test: catches MXU rounding (the one-hot
+    contractions must be exact at Precision.HIGHEST on real hardware)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU")
+    rng_ = np.random.default_rng(3)
+    G, Np, d = 32, 4, 3
+    theta = (rng_.standard_normal((G, Np, d)) * 1e3
+             + rng_.random((G, Np, d)) * 1e-4).astype(np.float32)
+    w = rng_.standard_normal((G, Np)).astype(np.float32)
+    u = rng_.random(G).astype(np.float32)
+    gum = rng_.gumbel(size=(G, Np)).astype(np.float32)
+    got_t, got_w = _run_mig_kernel(theta, w, u, 17, gum, interpret=False)
+    want_t, want_w = _np_migration_oracle(theta, w, u, 17, gum)
+    np.testing.assert_array_equal(got_t, want_t)
+    np.testing.assert_array_equal(got_w, want_w)

@@ -72,6 +72,34 @@ def main():
         assert getattr(f0, "fused", False)
         slope(f0, f0.to_fused(s0), "fused step (alpha=0, no cond)")
 
+    if "super" in which:
+        model, de = gaussian.make(key=0, n_obs=50, n_groups=256, Np=16,
+                                  burnin=100)
+        spec = make_spec(model, de)
+        state0 = init_state(model, de, spec, key=0)
+        fused = build_step(model, de, spec)
+        assert getattr(fused, "fused", False)
+        st = fused.to_fused(state0)
+        slope(fused, st, "fused K=1 (in-kernel mig)")
+        sup = fused.get_superstep()
+        assert sup is not None, "superstep unavailable"
+        per = slope(sup, st, "fused K=8 superstep (per launch)")
+        print(f"  -> per ITERATION: {per / 8:.3f} us", flush=True)
+
+    if "superlba" in which:
+        from demcmc_tpu.models import lba as lba_mod
+        ml, del_ = lba_mod.make(key=0, n_trials=100, n_groups=256, Np=16,
+                                burnin=100)
+        specl = make_spec(ml, del_)
+        sl = init_state(ml, del_, specl, key=0)
+        fl = build_step(ml, del_, specl)
+        assert getattr(fl, "fused", False)
+        stl = fl.to_fused(sl)
+        supl = fl.get_superstep()
+        assert supl is not None
+        per = slope(supl, stl, "LBA K=8 superstep (per launch)")
+        print(f"  -> per ITERATION: {per / 8:.3f} us", flush=True)
+
     if "lba" in which:
         ml, del_ = lba.make(key=0, n_trials=100, n_groups=256, Np=16,
                             burnin=100)
