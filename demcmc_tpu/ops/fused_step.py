@@ -267,36 +267,59 @@ def _mig_apply(theta, w, u_col, na_f, gum, p, *, G, Np, Gr):
 
     vsel = [vict(q) for q in quants]
 
-    # compact victim values to group space [G, Dq]: one dot per
-    # sublane row against a static leader-lane one-hot
-    gI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 0)
-    lI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 1)
-    sel = jnp.zeros((G, Dq), dt)
-    for r in range(R):
-        P_r = (((gI // Gr) == r)
-               & (lI == (gI % Gr) * Np)).astype(dt)           # [G,Cf]
-        V_r = jnp.concatenate([q[r:r + 1, :] for q in vsel], axis=0)
-        sel = sel + jax.lax.dot_general(
-            P_r, V_r, (((1,), (1,)), ((), ())), precision=HIGH)
-    routed = jax.lax.dot_general(route, sel, (((1,), (0,)), ((), ())),
-                                 precision=HIGH)              # [G,Dq]
+    # ---- lane -> group transport, per quantity -----------------------
+    # All contractions are the VERIFIED NT-gemm/outer-product classes
+    # (contract dim1 × dim1, one-hot or [·,1] operands — the only dot
+    # orientations the remote Mosaic compiler demonstrably handles;
+    # TN-orientation dots and [1,Cf]-broadcast arithmetic crashed it).
+    # Compaction: out_GR[g, r'] = v[r', leader_lane(g)] via a one-hot
+    # NT gemm, then a [G, R] row-select mask + lane reduce (exact:
+    # one-hot × value + zeros).
+    gcI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 0)
+    lcI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 1)
+    A_leader = (lcI == (gcI % Gr) * Np).astype(dt)            # [G,Cf]
+    gRI = jax.lax.broadcasted_iota(jnp.int32, (G, R), 0)
+    rRI = jax.lax.broadcasted_iota(jnp.int32, (G, R), 1)
+    row_of_g = ((gRI // Gr) == rRI).astype(dt)                # [G,R]
 
-    # expand back to lane space (every lane of group g gets routed[g])
-    rowI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 0)
-    exp = [jnp.zeros((R, Cf), dt) for _ in range(Dq)]
-    for r in range(R):
-        Q_r = (gI == (r * Gr + lI // Np)).astype(dt)          # [G,Cf]
-        E_r = jax.lax.dot_general(routed, Q_r, (((0,), (0,)), ((), ())),
-                                  precision=HIGH)             # [Dq,Cf]
-        mrow = (rowI == r).astype(dt)
-        for q in range(Dq):
-            exp[q] = exp[q] + mrow * E_r[q:q + 1, :]
+    def compact(v):                 # [R,Cf] group-bcast values -> [G,1]
+        out_gr = jax.lax.dot_general(A_leader, v,
+                                     (((1,), (1,)), ((), ())),
+                                     precision=HIGH)          # [G,R]
+        return jnp.sum(out_gr * row_of_g, axis=1, keepdims=True)
+
+    # routing: routed[g] = sel[source(g)] — elementwise mask + lane
+    # reduce over the one-hot route rows (exactly one nonzero per row,
+    # so the sum is an exact copy; no matmul touches the values)
+    def route_col(col):             # [G,1] -> [G,1]
+        return jnp.sum(route * brow(col), axis=1, keepdims=True)
+
+    # expansion: every lane of group g gets col[g].  Broadcast the
+    # column across rows (outer product with a ones column), align each
+    # sublane row's Gr-block by a lane roll, then repeat each group
+    # value Np times along lanes with a one-hot NT gemm.
+    ones_R = jnp.ones((R, 1), dt)
+    rowRG = jax.lax.broadcasted_iota(jnp.int32, (R, G), 0)
+    lS = jax.lax.broadcasted_iota(jnp.int32, (Cf, Gr), 0)
+    jS = jax.lax.broadcasted_iota(jnp.int32, (Cf, Gr), 1)
+    S_rep = ((lS // Np) == jS).astype(dt)                     # [Cf,Gr]
+
+    def expand(col):                # [G,1] -> [R,Cf]
+        big = jax.lax.dot_general(ones_R, col, (((1,), (1,)), ((), ())),
+                                  precision=HIGH)             # [R,G]
+        x = big
+        for r in range(1, R):
+            x = jnp.where(rowRG == r, _roll(big, (G - r * Gr) % G), x)
+        block = x[:, :Gr]                                     # [R,Gr]
+        return jax.lax.dot_general(block, S_rep,
+                                   (((1,), (1,)), ((), ())),
+                                   precision=HIGH)            # [R,Cf]
+
+    exp = [expand(route_col(compact(v))) for v in vsel]
 
     # each group's victim slot receives its source group's victim
     # (shift_particles!, migration.jl:84-91); self-routes are no-ops
-    new_theta = jnp.concatenate(
-        [jnp.where(vmask, exp[i], theta[i])[None] for i in range(d)],
-        axis=0)
+    new_theta = [jnp.where(vmask, exp[i], theta[i]) for i in range(d)]
     w_routed = jnp.where(exp[d + 1] > np.float32(0.5), -inf32, exp[d])
     new_w = jnp.where(vmask, w_routed, w)
     return new_theta, new_w
@@ -322,7 +345,8 @@ def build_migration_kernel(G, Np, d, interpret=True):
         p = lane % Np
         nt, nw = _mig_apply(t_ref[:], w_ref[:], u_ref[:], na_ref[:],
                             g_ref[:], p, G=G, Np=Np, Gr=Gr)
-        out_t[:] = nt
+        for i in range(d):
+            out_t[i] = nt[i]
         out_w[:] = nw
 
     return pl.pallas_call(
@@ -805,7 +829,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             def _():
                 nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_col, na_f,
                                     gum, p, G=G, Np=Np, Gr=Gr)
-                theta_sc[:] = nt
+                for i in range(d):
+                    theta_sc[i] = nt[i]
                 w_sc[:] = nw
 
         theta = theta_sc[:]                        # [d, R, Cf]

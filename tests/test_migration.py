@@ -72,13 +72,12 @@ def test_maybe_migrate_single_group_identity():
 def test_maybe_migrate_fires_at_rate_alpha():
     theta, weight = _pop()
     alpha = 0.3
-    fired = 0
     n = 300
-    for seed in range(n):
-        t2, _ = migration.maybe_migrate(jax.random.PRNGKey(seed), theta,
-                                        weight, alpha, theta.shape[0])
-        if np.any(np.asarray(t2) != np.asarray(theta)):
-            fired += 1
+    run = jax.jit(lambda k: migration.maybe_migrate(
+        k, theta, weight, alpha, theta.shape[0])[0])   # compile ONCE
+    base = np.asarray(theta)
+    fired = sum(bool(np.any(np.asarray(run(jax.random.PRNGKey(s))) != base))
+                for s in range(n))
     rate = fired / n
     # a fired migration can still be an identity shuffle when the same
     # particle rotates among equal victims — allow slack below alpha
@@ -91,10 +90,12 @@ def test_migrate_prefers_low_weight_particles():
     G, Np, d = 4, 4, 2
     theta = jnp.arange(G * Np * d, dtype=jnp.float64).reshape(G, Np, d)
     weight = jnp.zeros((G, Np)).at[:, 0].set(-50.0)
+    run = jax.jit(lambda k: migration.migrate(k, theta, weight, G)[0])
+    base = np.asarray(theta)
     moved_other = 0
     for seed in range(30):
-        t2, _ = migration.migrate(jax.random.PRNGKey(seed), theta, weight, G)
-        changed = np.any(np.asarray(t2) != np.asarray(theta), axis=-1)
+        changed = np.any(np.asarray(run(jax.random.PRNGKey(seed))) != base,
+                         axis=-1)
         if np.any(changed[:, 1:]):
             moved_other += 1
     assert moved_other <= 2
