@@ -497,7 +497,8 @@ def _shard_state(state: SamplerState, mesh):
 def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
              checkpoint_every: int = 0, checkpoint_path: str = None,
              progress_chunks: int = 20, thin: int = 1,
-             collect: bool = True, unroll: int = 2):
+             collect: bool = True, unroll: int = 2,
+             monitor=None, monitor_skip: int = 0, stop_check=None):
     """Run ``n_iter`` steps of the jitted scan, optionally chunked for
     progress display (the reference's ProgressMeter, ``src/main.jl:30,37``)
     and periodic checkpointing of the carry.
@@ -604,17 +605,30 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     chunk = n_iter
     if checkpoint_every and checkpoint_every > 0:
         chunk = min(chunk, checkpoint_every)
-    if progress:
+    if progress or stop_check is not None:
         chunk = min(chunk, max(1, math.ceil(n_iter / progress_chunks)))
 
     outs = []
     done = 0
+    emitted = 0                    # stored draws fed to the monitor
+    ckpt_future = None             # in-flight async checkpoint write
     t0 = done0 = None
     while done < n_iter:
         n = min(chunk, n_iter - done)
         state, pieces = run_steps(state, n)
         if collect:
-            outs.extend(jax.device_get(y) for y in pieces)
+            got = [jax.device_get(y) for y in pieces]
+            outs.extend(got)
+            if monitor is not None:
+                # feed post-burnin draws (monitor_skip = stored burnin
+                # draws) chunk-by-chunk — live streaming R̂/ESS at zero
+                # device cost (the transfer happens for bundling anyway)
+                for y in got:
+                    T = y.theta.shape[0]
+                    lo = max(monitor_skip - emitted, 0)
+                    if lo < T:
+                        monitor.update(y.theta[lo:])
+                    emitted += T
         done += n
         if progress:
             # rate/ETA like the reference's ProgressMeter (main.jl:30) —
@@ -627,14 +641,29 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
                         / max(time.perf_counter() - t0, 1e-9))
                 eta = (n_iter - done) * thin / max(rate, 1e-9)
                 tail = f"  ({rate:,.0f} it/s, ETA {eta:,.1f}s)"
+            if monitor is not None:
+                r = monitor.max_rhat()
+                if r is not None:
+                    tail += f"  R̂max {r:.3f}"
             print(f"\r[demcmc_tpu] {done * thin}/{n_iter_real} iterations"
                   f"{tail}", end="", flush=True)
         if (checkpoint_every and checkpoint_path
                 and done % checkpoint_every == 0):
             from .utils.checkpoint import save_state
-            save_state(checkpoint_path, state)
+            if ckpt_future is not None:
+                ckpt_future.result()   # serialize writes; surface errors
+            # transfer on this thread, disk write in the background —
+            # the scan keeps running while the npz lands (atomically)
+            ckpt_future = save_state(checkpoint_path, state, async_=True)
+        if stop_check is not None and done < n_iter and stop_check():
+            if progress:
+                print(f"\n[demcmc_tpu] convergence target reached at "
+                      f"{done * thin}/{n_iter_real} iterations", flush=True)
+            break
     if progress:
         print()
+    if ckpt_future is not None:
+        ckpt_future.result()           # join the last in-flight write
     if not collect:
         return state, None
     ys = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
@@ -644,7 +673,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
 def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
            mesh=None, checkpoint_every: int = 0, checkpoint_path: str = None,
            return_state: bool = False, state: SamplerState = None,
-           thin: int = 1):
+           thin: int = 1, monitor: bool = False, stop_rhat: float = None):
     """Sample from the posterior (reference ``sample``,
     ``src/main.jl:19-42``).
 
@@ -658,7 +687,15 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     over devices), ``checkpoint_every/checkpoint_path`` (periodic carry
     snapshots), ``state`` (resume from a saved carry), ``return_state``,
     ``thin`` (keep every thin-th draw; ``n_iter`` and ``burnin`` must be
-    divisible by it).
+    divisible by it), ``monitor`` (stream running chain-level R̂ / rough
+    ESS over post-burnin draws as they come off the device; with
+    ``progress=True`` the live ``R̂max`` shows in the progress line, and
+    the :class:`~demcmc_tpu.utils.monitor.ConvergenceMonitor` is attached
+    to the returned chains as ``.monitor``), ``stop_rhat`` (auto-stop:
+    end the run early once the streaming post-burnin ``R̂max`` falls to
+    or below this target — checked at chunk boundaries, never before 50
+    stored post-burnin draws; implies ``monitor=True``; the returned
+    chains hold only the draws actually taken).
 
     Returns a :class:`demcmc_tpu.Chains` (the MCMCChains.Chains analogue).
     """
@@ -691,9 +728,25 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
             theta=state.theta.reshape(spec.dim, -1).T.reshape(
                 G, Np, spec.dim),
             weight=state.weight.reshape(G, Np), fire=None)
+    mon = None
+    if monitor or stop_rhat is not None:
+        from .utils.monitor import ConvergenceMonitor
+        mon = ConvergenceMonitor(fused=fused)
+    stop_check = None
+    if stop_rhat is not None:
+        def stop_check():
+            if mon.n < 50:       # too few draws for a stable R̂
+                return False
+            r = mon.max_rhat()
+            return r is not None and np.isfinite(r) and r <= stop_rhat
     state, ys = run_scan(step, state, n_iter, progress=progress,
                          checkpoint_every=checkpoint_every,
-                         checkpoint_path=checkpoint_path, thin=thin)
+                         checkpoint_path=checkpoint_path, thin=thin,
+                         monitor=mon, stop_check=stop_check,
+                         monitor_skip=de.burnin // thin)
+    if ys is not None:
+        # auto-stop may end the run early — bundle what was taken
+        n_iter = ys.theta.shape[0] * thin
     if fused and ys is not None:
         # kernel layout [T, d, 8, C/8] -> the bundling layout [T, C, d]
         T = ys.theta.shape[0]
@@ -705,6 +758,8 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
         state = step.from_fused(state)
 
     chains = bundle_samples(model, de, spec, ys, n_iter, thin=thin)
+    if mon is not None:
+        chains.monitor = mon
     if return_state:
         return chains, state
     return chains

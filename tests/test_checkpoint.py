@@ -75,3 +75,73 @@ def test_resume_resample_grows_history():
     # the newly appended rows were actually written
     h = np.asarray(s2.history)
     assert np.any(h[-1] != 0)
+
+
+def test_checkpoint_roundtrip_fused_state_with_fire(tmp_path):
+    """A fused-layout state carries ``fire``; the named-field format must
+    round-trip it as FIRE, not mislabel it as the history buffer (the
+    old positional format did exactly that)."""
+    import jax
+    import jax.numpy as jnp
+    from demcmc_tpu.sampler import SamplerState
+    from demcmc_tpu.utils.checkpoint import load_state, save_state
+
+    st = SamplerState(theta=jnp.ones((2, 8, 16)),
+                      weight=jnp.zeros((8, 16)),
+                      key=jax.random.PRNGKey(0),
+                      iteration=jnp.asarray(7, jnp.int32),
+                      history=None,
+                      fire=jnp.ones((1, 1), jnp.int32))
+    path = tmp_path / "fused_ckpt"
+    save_state(path, st)
+    got = load_state(path)
+    assert got.history is None
+    assert got.fire is not None and got.fire.shape == (1, 1)
+    assert int(got.iteration) == 7
+    np.testing.assert_array_equal(np.asarray(got.theta),
+                                  np.asarray(st.theta))
+
+
+def test_checkpoint_legacy_positional_format_still_loads(tmp_path):
+    """Old checkpoints (leaf_i + n_leaves) keep loading."""
+    import jax
+    import jax.numpy as jnp
+    from demcmc_tpu.sampler import SamplerState
+    from demcmc_tpu.utils.checkpoint import load_state
+
+    st = SamplerState(theta=jnp.ones((4, 3, 2)), weight=jnp.zeros((4, 3)),
+                      key=jax.random.PRNGKey(1),
+                      iteration=jnp.asarray(3, jnp.int32), history=None)
+    leaves = jax.tree.flatten(st)[0]
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    path = str(tmp_path / "legacy.npz")
+    np.savez(path, n_leaves=len(leaves), **arrays)
+    got = load_state(path)
+    assert got.history is None and got.fire is None
+    np.testing.assert_array_equal(np.asarray(got.theta),
+                                  np.asarray(st.theta))
+
+
+def test_checkpoint_async_and_atomic(tmp_path):
+    """async_=True returns a Future, the write is atomic (no .tmp debris,
+    valid npz), and the round trip matches the sync path."""
+    import jax
+    import jax.numpy as jnp
+    from demcmc_tpu.sampler import SamplerState
+    from demcmc_tpu.utils.checkpoint import load_state, save_state
+
+    st = SamplerState(theta=jnp.arange(24.0).reshape(4, 3, 2),
+                      weight=jnp.zeros((4, 3)),
+                      key=jax.random.PRNGKey(2),
+                      iteration=jnp.asarray(11, jnp.int32), history=None)
+    path = tmp_path / "async_ckpt"
+    fut = save_state(path, st, async_=True)
+    assert fut is not None
+    fut.result(timeout=30)
+    got = load_state(path)
+    np.testing.assert_array_equal(np.asarray(got.theta),
+                                  np.asarray(st.theta))
+    assert int(got.iteration) == 11
+    # no tmp debris left behind
+    leftovers = [p for p in path.parent.iterdir() if ".tmp" in p.name]
+    assert leftovers == []

@@ -160,3 +160,83 @@ def test_ess_device_matches_numpy():
         ref = dg.ess(x)
         dev = float(dg.ess_device(x))
         np.testing.assert_allclose(dev, ref, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# streaming convergence monitor (utils/monitor.py)
+# ---------------------------------------------------------------------------
+
+def test_monitor_rhat_matches_batch_formula():
+    """Chunked streaming R̂ == the classic (non-split) Gelman-Rubin
+    computed on the whole array at once."""
+    from demcmc_tpu.utils.monitor import ConvergenceMonitor
+    rng = np.random.default_rng(0)
+    T, C, d = 400, 6, 3
+    x = rng.standard_normal((T, C, d)) + rng.normal(size=(1, C, 1)) * 0.3
+    mon = ConvergenceMonitor()
+    for lo in range(0, T, 64):                 # uneven chunking
+        mon.update(x[lo:lo + 64])
+    # batch reference
+    mean = x.mean(axis=0)                      # [C, d]
+    W = x.var(axis=0, ddof=1).mean(axis=0)     # [d]
+    B_over_n = mean.var(axis=0, ddof=1)
+    want = np.sqrt(((T - 1) / T * W + B_over_n) / W)
+    np.testing.assert_allclose(mon.rhat(), want, rtol=1e-10)
+
+
+def test_monitor_ess_sane_on_iid_and_correlated():
+    from demcmc_tpu.utils.monitor import ConvergenceMonitor
+    rng = np.random.default_rng(1)
+    T, C = 2000, 8
+    iid = rng.standard_normal((T, C, 1))
+    mon = ConvergenceMonitor()
+    mon.update(iid)
+    ess = mon.ess_rough()[0]
+    assert 0.7 * T * C < ess < 1.3 * T * C     # iid: ESS ~ N
+    # AR(1) with rho = 0.8 -> ESS ~ N * (1-rho)/(1+rho) ~ 0.111 N
+    ar = np.empty((T, C, 1))
+    ar[0] = rng.standard_normal((C, 1))
+    for t in range(1, T):
+        ar[t] = 0.8 * ar[t - 1] + np.sqrt(1 - 0.64) * rng.standard_normal(
+            (C, 1))
+    mon2 = ConvergenceMonitor()
+    for lo in range(0, T, 300):
+        mon2.update(ar[lo:lo + 300])
+    ess2 = mon2.ess_rough()[0]
+    assert 0.06 * T * C < ess2 < 0.2 * T * C
+
+
+def test_sample_stop_rhat_early_stop():
+    """stop_rhat ends the run at a chunk boundary once streaming R̂max
+    hits the target; the returned chains hold only the draws taken and
+    are still a valid posterior sample."""
+    import demcmc_tpu as dt
+    from demcmc_tpu.models import gaussian
+    model, de = gaussian.make(key=0, n_obs=30, n_groups=8, Np=6,
+                              burnin=200)
+    chains = dt.sample(model, de, 20000, key=5, stop_rhat=1.05)
+    # a well-mixing 2-param Gaussian converges long before 19800 draws
+    assert len(chains) < 19800 - 200
+    assert len(chains) >= 50
+    assert chains.monitor.max_rhat() <= 1.05
+    # the early-stopped output is still a sane posterior sample
+    assert abs(chains.mean("mu") - np.mean(model.data)) < 0.5
+    # unreachable target -> runs to completion
+    chains_full = dt.sample(model, de, 600, key=5, stop_rhat=1e-9)
+    assert len(chains_full) == 600 - 200
+
+
+def test_sample_monitor_end_to_end():
+    """sample(monitor=True) attaches a converged monitor whose streaming
+    R̂ agrees with the post-hoc split-R̂ to the expected tolerance."""
+    import demcmc_tpu as dt
+    from demcmc_tpu.models import gaussian
+    model, de = gaussian.make(key=0, n_obs=30, n_groups=8, Np=6,
+                              burnin=400)
+    chains = dt.sample(model, de, 1600, key=3, monitor=True)
+    mon = chains.monitor
+    assert mon.n == 1200 * 1  # post-burnin draws
+    r = mon.max_rhat()
+    assert r is not None and 0.99 < r < 1.05
+    ess = mon.ess_rough()
+    assert np.all(ess > 50)
