@@ -36,6 +36,18 @@ def interpret(monkeypatch):
     monkeypatch.setenv("DEMCMC_FUSED", "interpret")
 
 
+_fused_2500 = []
+
+
+def _fused_gauss_2500():
+    """One 2500-iteration fused run shared by the oracle and fused-vs-XLA
+    statistical tests (interpret-mode sampling dominates suite runtime)."""
+    if not _fused_2500:
+        model, de = _make()
+        _fused_2500.append(sample(model, de, 2500, key=11))
+    return _fused_2500[0]
+
+
 def test_supported_predicate(interpret):
     model, de = _make()
     spec = make_spec(model, de)
@@ -66,8 +78,7 @@ def test_build_step_picks_fused(interpret):
 
 @pytest.mark.slow
 def test_gaussian_posterior_matches_oracle(interpret):
-    model, de = _make()
-    chains = sample(model, de, 2500, key=11)
+    chains = _fused_gauss_2500()
     ref = gaussian.posterior_grid(F32_DATA)
     means = chains.data.mean(axis=(0, 2))
     stds = chains.data.std(axis=(0, 2))
@@ -152,8 +163,7 @@ def test_resume_bitwise(interpret):
 def test_fused_matches_xla_statistically(interpret, monkeypatch):
     """Fused and XLA paths use different RNG streams but must target the
     same posterior."""
-    model, de = _make(burnin=500)
-    fused = sample(model, de, 2500, key=21)
+    fused = _fused_gauss_2500()
     monkeypatch.setenv("DEMCMC_FUSED", "off")
     model2, de2 = _make(burnin=500)
     xla = sample(model2, de2, 2500, key=21)
