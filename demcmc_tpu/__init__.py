@@ -31,7 +31,8 @@ from .ops.proposals import (fixed_gamma, random_gamma, resample,
                             sample_current, snooker, variable_gamma)
 from .optimize import Population, get_optimal, optimize
 from .particle import Particle
-from .sampler import SamplerState, init_state, make_spec, sample
+from .sampler import (SamplerState, init_state, make_spec, sample,
+                      sample_replicated)
 from .utils.checkpoint import load_state, save_state
 from .utils.pytree import as_union
 
@@ -44,7 +45,8 @@ DEMCMC = _sys.modules[__name__]
 __all__ = [
     "DE", "DEModel", "MCMCThreads", "Chains", "ParamSpec", "Particle",
     "Population",
-    "SamplerState", "sample", "optimize", "get_optimal", "init_state",
+    "SamplerState", "sample", "sample_replicated", "optimize",
+    "get_optimal", "init_state",
     "make_spec", "random_gamma", "fixed_gamma", "variable_gamma", "snooker",
     "resample", "sample_current", "mh_update", "maximize", "minimize",
     "greedy_update", "compute_posterior", "evaluate_fun", "as_union",

@@ -792,3 +792,84 @@ def bundle_samples(model: DEModel, de: DE, spec: ParamSpec, ys: StepOutput,
     acc = np.asarray(ys.accept)[offset:]
     lp = np.asarray(ys.lp)[offset:]
     return Chains.from_samples(theta, acc, lp, spec)
+
+
+def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
+                      thin: int = 1, keys=None):
+    """Run R independent replications — one dataset per replication — as
+    ONE vmapped device program.
+
+    TPU-native batching with no reference analogue: where
+    ``MCMCThreads`` parallelizes the groups of a single run, this batches
+    R *whole runs* (init → scan → trajectories) into one XLA program, so
+    small-population workloads (per-subject model fits, simulation-based
+    calibration, prior-predictive sweeps) fill the chip instead of
+    queueing as R separate dispatches with R recompiles.
+
+    Parameters
+    ----------
+    make_model : callable ``data -> DEModel``.  Called under ``vmap`` with
+        a traced data pytree, so it must be JAX-traceable (no numpy on
+        ``data``); the returned model must route ``data`` through
+        ``DEModel.data`` / ``loglike(data, ...)`` as usual.
+    datasets : pytree whose leaves all carry a leading replication axis
+        ``[R, ...]``.
+    key / keys : either a base key (split into R per-run keys) or an
+        explicit ``[R]`` array of keys.  Replication r's chains are
+        bitwise identical to ``sample(make_model(datasets[r]), de, n_iter,
+        key=keys[r])`` on the XLA step path.
+    thin : keep every ``thin``-th draw (as in :func:`sample`).
+
+    Returns a list of R :class:`Chains`.
+    """
+    leaves = jax.tree.leaves(datasets)
+    if not leaves:
+        raise ValueError("datasets is empty")
+    R = int(np.asarray(leaves[0]).shape[0])
+    for x in leaves:
+        if int(np.asarray(x).shape[0]) != R:
+            raise ValueError("all dataset leaves need the same leading "
+                             "replication axis")
+    datasets = jax.tree.map(jnp.asarray, datasets)
+    example = jax.tree.map(lambda x: x[0], datasets)
+    model0 = make_model(example)
+    spec = make_spec(model0, de)
+
+    if thin > 1:
+        if n_iter % thin:
+            raise ValueError(f"n_iter ({n_iter}) must be divisible by "
+                             f"thin ({thin})")
+        if de.discard_burnin and de.burnin % thin:
+            raise ValueError(f"burnin ({de.burnin}) must be divisible by "
+                             f"thin ({thin})")
+    if keys is None:
+        keys = jax.random.split(rng.ensure_key(key), R)
+    else:
+        keys = jnp.stack([rng.ensure_key(k) for k in keys]) \
+            if isinstance(keys, (list, tuple)) else jnp.asarray(keys)
+        if keys.shape[0] != R:
+            raise ValueError(f"{keys.shape[0]} keys for {R} replications")
+
+    def one(data, k):
+        model = make_model(data)
+        # the XLA step, uncached: the model closes over a TRACED data
+        # leaf, so neither the per-model step cache nor the fused
+        # kernel's host-side constant folding applies
+        step = _build_step_uncached(model, de, spec)
+        state = _grow_history(init_state(model, de, spec, k), n_iter)
+        run_step = step
+        if thin > 1:
+            def run_step(s, _=None):
+                s, _ = jax.lax.scan(lambda c, x: (step(c)[0], None), s,
+                                    None, length=thin - 1)
+                return step(s)
+        _, ys = jax.lax.scan(lambda s, x: run_step(s), state, None,
+                             length=n_iter // thin)
+        return ys
+
+    ys = jax.jit(jax.vmap(one))(datasets, keys)
+    ys = jax.device_get(ys)
+    return [bundle_samples(model0, de, spec,
+                           StepOutput(*(np.asarray(a[r]) for a in ys)),
+                           n_iter, thin=thin)
+            for r in range(R)]

@@ -1,0 +1,102 @@
+"""Tests for sample_replicated — R independent runs as one vmapped program.
+
+No reference analogue (MCMCThreads parallelizes the groups of ONE run);
+this batches whole runs, the TPU-native shape for per-subject fits and
+simulation-based calibration.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import demcmc_tpu as dm
+from demcmc_tpu.models import gaussian
+
+
+def _make_model(data):
+    return gaussian.make_model(data)
+
+
+def _de(**kw):
+    kw.setdefault("Np", 4)
+    kw.setdefault("n_groups", 4)
+    kw.setdefault("burnin", 400)
+    kw.setdefault("bounds", gaussian.BOUNDS)
+    return dm.DE(**kw)
+
+
+def test_replicated_matches_single_run_bitwise(monkeypatch):
+    """Replication r == sample(make_model(datasets[r]), ..., key=keys[r])
+    bitwise on the XLA step path."""
+    monkeypatch.setenv("DEMCMC_FUSED", "off")
+    rng_ = np.random.default_rng(0)
+    datasets = jnp.asarray(rng_.normal(0.0, 1.0, (3, 40)), jnp.float32)
+    de = _de(burnin=100)
+    keys = [jax.random.PRNGKey(100 + r) for r in range(3)]
+    reps = dm.sample_replicated(_make_model, de, 300, datasets, keys=keys)
+    assert len(reps) == 3
+    for r in range(3):
+        solo = dm.sample(_make_model(datasets[r]), de, 300, key=keys[r])
+        np.testing.assert_array_equal(reps[r].data, solo.data)
+
+
+def test_replicated_recovers_per_dataset_posteriors():
+    """Each replication converges on ITS dataset's posterior (shifted
+    means are resolved per replication, not pooled)."""
+    rng_ = np.random.default_rng(1)
+    mus = np.array([-2.0, 0.0, 3.0])
+    datasets = jnp.asarray(
+        rng_.normal(mus[:, None], 1.0, (3, 80)), jnp.float32)
+    de = _de(burnin=500)
+    reps = dm.sample_replicated(_make_model, de, 1500, datasets, key=7)
+    for r in range(3):
+        want = gaussian.posterior_grid(np.asarray(datasets[r]))
+        assert abs(reps[r].mean("mu") - want["mu"]["mean"]) < 0.1, r
+        assert abs(reps[r].mean("sigma") - want["sigma"]["mean"]) < 0.1, r
+
+
+def test_replicated_resample_history_path():
+    """The DE-MCz history buffer (dynamic_update_slice in the carry)
+    batches correctly under vmap."""
+    def make_model(data):
+        def loglike(data, mu):
+            return -0.5 * jnp.sum((data - mu) ** 2)
+
+        def prior_loglike(mu):
+            return -0.5 * jnp.sum(mu ** 2)
+
+        return dm.DEModel(
+            loglike=loglike, prior_loglike=prior_loglike,
+            sample_prior=lambda k: [jax.random.normal(k, (2,))],
+            names=("mu",), data=data)
+
+    rng_ = np.random.default_rng(2)
+    mus = np.array([[-1.0, 1.0], [2.0, 0.0]])
+    datasets = jnp.asarray(
+        rng_.normal(mus[:, None, :], 1.0, (2, 30, 2)), jnp.float32)
+    de = dm.DE(Np=3, n_groups=1, alpha=0.0, theta_snooker=0.3,
+               sample="resample", n_initial=12, burnin=400,
+               bounds=((-np.inf, np.inf),))
+    reps = dm.sample_replicated(make_model, de, 1400, datasets, key=3)
+    for r in range(2):
+        post_mean = mus[r] * 30 / 31  # conjugate: n/(n+1) * xbar-ish
+        got = reps[r].group("mu").mean(axis=(0, 2))
+        xbar = np.asarray(datasets[r]).mean(axis=0)
+        want = xbar * 30 / 31
+        np.testing.assert_allclose(got, want, atol=0.2)
+
+
+def test_replicated_thin_and_validation():
+    rng_ = np.random.default_rng(3)
+    datasets = jnp.asarray(rng_.normal(0, 1, (2, 20)), jnp.float32)
+    de = _de(burnin=100)
+    reps = dm.sample_replicated(_make_model, de, 300, datasets, key=1,
+                                thin=2)
+    assert len(reps[0]) == (300 - 100) // 2
+    with pytest.raises(ValueError):
+        dm.sample_replicated(_make_model, de, 301, datasets, key=1, thin=2)
+    with pytest.raises(ValueError):
+        dm.sample_replicated(_make_model, de, 300, datasets,
+                             keys=[jax.random.PRNGKey(0)])

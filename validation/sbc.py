@@ -11,6 +11,15 @@ Runs the 1-parameter binomial model (conjugate — so any miscalibration
 is the sampler's fault, not the model's).  Prints a chi-square
 goodness-of-fit summary; p > 0.01 passes.
 
+All M replications run as ONE vmapped device program
+(``sample_replicated``) with the same per-replication keys as the
+original serial harness — per-replication chains verified bitwise
+identical to serial ``sample`` calls, ~20x faster end to end (11 s on
+the 4-core CPU harness vs minutes serial).  Recorded runs: 2026-08-17
+serial p = 0.62 / 0.32; 2026-08-18 vectorized p = 0.125 / 0.464 (both
+PASS — the draw streams differ because round-2 fidelity fixes changed
+pool-draw internals, not because of the vectorization).
+
 Run (CPU, grant-free):
     JAX_PLATFORMS=cpu PYTHONPATH=/opt/venv/lib/python3.12/site-packages:. \
         python -S validation/sbc.py
@@ -44,32 +53,36 @@ def sbc_snooker_resample(M=32, d=3, n_obs=20):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(7)
-    ranks = []
-    for i in range(M):
-        mu_true = rng.normal(0.0, 1.0, size=d)
-        data = rng.normal(mu_true, 1.0, size=(n_obs, d))
+    mu_true = rng.normal(0.0, 1.0, size=(M, d))
+    datasets = jnp.asarray(
+        rng.normal(mu_true[:, None, :], 1.0, size=(M, n_obs, d)),
+        jnp.float32)
 
-        def loglike(data, mu):
-            return -0.5 * jnp.sum((data - mu) ** 2)
+    def loglike(data, mu):
+        return -0.5 * jnp.sum((data - mu) ** 2)
 
-        def prior_loglike(mu):
-            return -0.5 * jnp.sum(mu ** 2)
+    def prior_loglike(mu):
+        return -0.5 * jnp.sum(mu ** 2)
 
-        model = dm.DEModel(
+    def make_model(data):
+        return dm.DEModel(
             loglike=loglike, prior_loglike=prior_loglike,
             sample_prior=lambda k: [jax.random.normal(k, (d,))],
-            names=("mu",), data=jnp.asarray(data))
-        de = dm.DE(Np=3, n_groups=1, alpha=0.0, theta_snooker=0.5,
-                   sample="resample", n_initial=(d + 1) * 4,
-                   burnin=400, bounds=((-np.inf, np.inf),))
-        chains = dm.sample(model, de, 1400, key=1000 + i)
+            names=("mu",), data=data)
+
+    de = dm.DE(Np=3, n_groups=1, alpha=0.0, theta_snooker=0.5,
+               sample="resample", n_initial=(d + 1) * 4,
+               burnin=400, bounds=((-np.inf, np.inf),))
+    reps = dm.sample_replicated(make_model, de, 1400, datasets,
+                                keys=[1000 + i for i in range(M)])
+    print(f"[sbc-snooker] {M} replications sampled (one vmapped program)")
+    ranks = []
+    for i, chains in enumerate(reps):
         mu_draws = chains.group("mu")            # [Ns, d, C]
         for j in range(d):
             draws = mu_draws[:, j, :].reshape(-1)
             idx = np.linspace(0, draws.size - 1, L).astype(int)
-            ranks.append(int(np.sum(draws[idx] < mu_true[j])))
-        print(f"\r[sbc-snooker] {i + 1}/{M}", end="", flush=True)
-    print()
+            ranks.append(int(np.sum(draws[idx] < mu_true[i, j])))
     return np.asarray(ranks)
 
 
@@ -86,21 +99,35 @@ def _chi2(ranks, label, B=8):
 
 
 def main():
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(20260817)
-    ranks = []
+    theta_true = np.empty(M)
+    ks = np.empty(M, np.int32)
     for i in range(M):
-        theta_true = rng.beta(1.0, 1.0)
-        k = int(rng.binomial(N_TRIALS, theta_true))
-        model, de = binomial.make(N=N_TRIALS, k=k, burnin=BURNIN, Np=4)
-        chains = dm.sample(model, de, N_ITER, key=i)
+        theta_true[i] = rng.beta(1.0, 1.0)
+        ks[i] = int(rng.binomial(N_TRIALS, theta_true[i]))
+
+    datasets = {"N": jnp.full(M, N_TRIALS, jnp.int32), "k": jnp.asarray(ks)}
+
+    def make_model(data):
+        return dm.DEModel(loglike=binomial.loglike,
+                          prior_loglike=binomial.prior_loglike,
+                          sample_prior=binomial.sample_prior,
+                          names=binomial.NAMES, data=data)
+
+    de = dm.DE(bounds=binomial.BOUNDS, burnin=BURNIN, Np=4)
+    reps = dm.sample_replicated(make_model, de, N_ITER, datasets,
+                                keys=list(range(M)))
+    print(f"[sbc] {M} replications sampled (one vmapped program)")
+    ranks = []
+    for i, chains in enumerate(reps):
         draws = chains["theta"].reshape(-1)
         # L approximately-independent draws: stride across the pooled
         # chains (ESS per draw is high for this 1-d conjugate model)
         idx = np.linspace(0, draws.size - 1, L).astype(int)
         sub = draws[idx]
-        ranks.append(int(np.sum(sub < theta_true)))
-        print(f"\r[sbc] {i + 1}/{M}", end="", flush=True)
-    print()
+        ranks.append(int(np.sum(sub < theta_true[i])))
 
     ranks = np.asarray(ranks)
     p = _chi2(ranks, "binomial/default-path")
