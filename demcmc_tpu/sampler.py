@@ -185,7 +185,7 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         k1 = fused_mod.build_fused_step(model, de, spec, K=1,
                                         mig_in_kernel=False)
 
-    def mig(state, t3, w3):
+    def mig(state, t3, w3, fire=True):
         # big-G path only: XLA migration BEFORE the update, like the
         # reference (src/main.jl:85); the Bernoulli(α) gate was drawn by
         # the PREVIOUS kernel invocation and carried in `fire`
@@ -194,18 +194,28 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         wg = w3.reshape(G, Np)
         kd = rng.KeyDraws(jax.random.fold_in(
             rng.step_key(state.key, it), rng.MIGRATE))
-        tgn, wgn = migration_ops.migrate(kd, tg, wg, G)
+        tgn, wgn = migration_ops.migrate(kd, tg, wg, G, fire=fire)
         return (jnp.transpose(tgn, (2, 0, 1)).reshape(d, R, Cf),
                 wgn.reshape(R, Cf))
+
+    # G > MIG_MAX_G gate style: "cond" skips the XLA migration work via a
+    # lax.cond (a ~1 µs device-scalar pipeline sync per step), "branchless"
+    # always computes the exchange and mask-applies it (fire=False is an
+    # exact identity, so both styles are bitwise identical).  Which wins
+    # depends on the argsort+gather cost at this G vs the cond sync —
+    # measured on-chip by validation/mig_gate_bench.py.
+    import os as _os
+    branchless = _os.environ.get("DEMCMC_MIG_GATE", "cond") == "branchless"
 
     def _call(kern, state):
         it = state.iteration
         key2 = _raw_key(state.key)
         if mig_ik or alpha == 0.0:
             return kern(state.theta, state.weight, key2, it, state.fire)
-        # G > MIG_MAX_G: one data-dependent branch (a ~1 µs pipeline
-        # sync) gating the XLA migration
         fired = state.fire.reshape(()) > 0
+        if branchless:
+            t3, w3 = mig(state, state.theta, state.weight, fire=fired)
+            return kern(t3, w3, key2, it, state.fire)
 
         def br(migrate):
             def f(args):

@@ -274,6 +274,22 @@ def test_in_kernel_migration_multiset(interpret):
     np.testing.assert_array_equal(flat_in[order_in], flat_out[order_out])
 
 
+def test_big_g_migration_gate_styles_bitwise_equal(interpret, monkeypatch):
+    """For G > MIG_MAX_G the XLA migration may ride a lax.cond OR run
+    branchless (mask-applied); the two must be bitwise identical — the
+    on-chip choice between them is purely a perf measurement
+    (validation/mig_gate_bench.py)."""
+    monkeypatch.setattr(fused_step, "MIG_MAX_G", 16)
+    monkeypatch.setenv("DEMCMC_MIG_GATE", "cond")
+    model, de = _make(alpha=0.5, burnin=100)      # G=32 > patched max
+    c1 = sample(model, de, 300, key=5)
+    monkeypatch.setenv("DEMCMC_MIG_GATE", "branchless")
+    model2, de2 = _make(alpha=0.5, burnin=100)
+    c2 = sample(model2, de2, 300, key=5)
+    assert np.array_equal(c1.data, c2.data)
+    assert np.array_equal(c1.acceptance, c2.acceptance)
+
+
 def test_superstep_bitwise_equals_single_steps(interpret):
     """A SUPER_K-iteration kernel launch must be bitwise identical to
     SUPER_K single-iteration launches (per-iteration PRNG seeding)."""
