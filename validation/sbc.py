@@ -86,6 +86,46 @@ def sbc_snooker_resample(M=32, d=3, n_obs=20):
     return np.asarray(ranks)
 
 
+def sbc_pseudo_marginal(M=32, n_sim=500):
+    """SBC of the pseudo-marginal (fresh-noise ABC) path: the binomial
+    hit-frequency estimator is unbiased, so by Andrieu & Roberts (2009)
+    the pseudo-marginal chain targets the EXACT posterior for any
+    ``n_sim`` — rank uniformity here validates the `stochastic=True`
+    machinery (per-evaluation keys, carried weights) end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    theta_true = rng.beta(1.0, 1.0, size=M)
+    ks = rng.binomial(N_TRIALS, theta_true).astype(np.int32)
+    datasets = jnp.asarray(ks)            # data leaf = observed k only
+    # N_TRIALS enters as a SHAPE (simulation tensor), so it must stay
+    # static — only k is a (traced) data leaf under vmap
+    def loglike_pm(k, theta, *, key=None):
+        draws = jax.random.bernoulli(key, theta, (n_sim, N_TRIALS))
+        hit = jnp.mean((jnp.sum(draws, axis=1) == k).astype(jnp.float32))
+        return jnp.log(hit)
+
+    def make_model(data):
+        return dm.DEModel(loglike=loglike_pm,
+                          prior_loglike=binomial.prior_loglike,
+                          sample_prior=binomial.sample_prior,
+                          names=binomial.NAMES, data=data,
+                          stochastic=True)
+
+    de = dm.DE(bounds=binomial.BOUNDS, burnin=BURNIN, Np=4)
+    reps = dm.sample_replicated(make_model, de, N_ITER, datasets,
+                                keys=[500 + i for i in range(M)])
+    print(f"[sbc-pm] {M} pseudo-marginal replications sampled "
+          f"(one vmapped program)")
+    ranks = []
+    for i, chains in enumerate(reps):
+        draws = chains["theta"].reshape(-1)
+        idx = np.linspace(0, draws.size - 1, L).astype(int)
+        ranks.append(int(np.sum(draws[idx] < theta_true[i])))
+    return np.asarray(ranks)
+
+
 def _chi2(ranks, label, B=8):
     Mtot = ranks.size
     edges = np.linspace(0, L + 1, B + 1)
@@ -132,7 +172,8 @@ def main():
     ranks = np.asarray(ranks)
     p = _chi2(ranks, "binomial/default-path")
     p2 = _chi2(sbc_snooker_resample(), "snooker+resample")
-    return min(p, p2)
+    p3 = _chi2(sbc_pseudo_marginal(), "pseudo-marginal-abc")
+    return min(p, p2, p3)
 
 
 if __name__ == "__main__":
