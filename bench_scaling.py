@@ -68,7 +68,9 @@ def run_once(n_groups: int, n_dev: int) -> float:
     state = init_state(model, de, spec, key=0)
     mesh = chain_mesh(n_dev)
     state = _shard_state(state, mesh)
-    step = build_step(model, de, spec)
+    # the fused Pallas step is single-device (and expects the fused state
+    # layout); a mesh-sharded run must take the XLA step, same as sample()
+    step = build_step(model, de, spec, allow_fused=False)
 
     @jax.jit
     def run(s, dummy):

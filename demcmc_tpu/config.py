@@ -94,7 +94,7 @@ class DE:
             object.__setattr__(self, "sample", proposals.sample_current)
         elif self.sample == "resample":
             object.__setattr__(self, "sample", proposals.resample)
-        if isinstance(self.blocking_on, bool):
+        if isinstance(self.blocking_on, (bool, np.bool_)):
             # the reference slot is a callable of the sampler view
             # (structs.jl:71-76); accept plain bools as the constant
             # functions (module-level, so content-equal configs still

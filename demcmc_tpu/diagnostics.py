@@ -149,6 +149,8 @@ def ess_device(x):
     if x.ndim == 1:
         x = x[:, None]
     half = (x.shape[0] // 2 * 2) // 2
+    if half < 4:                 # same degenerate contract as ess(): NaN
+        return jnp.asarray(jnp.nan)
     s = jnp.concatenate([x[:half], x[half:2 * half]], axis=1)
     s = s.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     n, m = s.shape
@@ -173,7 +175,11 @@ def ess_device(x):
     tau = -1.0 + 2.0 * jnp.sum(
         jnp.where(jnp.arange(pair.shape[0]) < k, pair, 0.0))
     tau = jnp.maximum(tau, 1.0 / np.log10(n * m + 10))
-    return n * m / tau
+    # degenerate chains (w <= 0 or non-finite): NaN, matching
+    # _ess_from_splits' contract — a stuck sampler must not report a
+    # large finite ESS to a benchmark
+    ok = jnp.isfinite(w) & (w > 0)
+    return jnp.where(ok, n * m / tau, jnp.nan)
 
 
 def summary_stats(x) -> dict:

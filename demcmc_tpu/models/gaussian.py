@@ -51,10 +51,15 @@ def loglike_batched(data, mu, sigma):
         return jnp.sum(dists.normal_logpdf(xe, mu[None], sigma[None]),
                        axis=0)
     n = float(x.shape[0])
-    s1 = float(x.sum(dtype=np.float64))
-    s2 = float((x.astype(np.float64) ** 2).sum())
+    # CENTERED statistics (xbar, Σ(x-xbar)²), not (Σx, Σx²): the raw
+    # second moment cancels catastrophically in f32 for non-centered data
+    # (data ~ N(1000,1): s2 ≈ 5e7 with ulp ≈ 4 vs a true residual ≈ n),
+    # while n·(μ-x̄)² + ss is shift-invariant and exact to f32 precision
+    xbar = float(x.mean(dtype=np.float64))
+    ss = float(((x.astype(np.float64) - xbar) ** 2).sum())
+    dm_ = mu - xbar
     return (-0.5 * n * float(np.log(2.0 * np.pi)) - n * jnp.log(sigma)
-            - 0.5 * (s2 - 2.0 * s1 * mu + n * mu * mu) / (sigma * sigma))
+            - 0.5 * (ss + n * dm_ * dm_) / (sigma * sigma))
 
 
 def prior_loglike_batched(mu, sigma):

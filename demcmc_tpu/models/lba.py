@@ -46,11 +46,10 @@ def _Phi_phi(x):
     at 1e-30 downstream).  This is the hot function of the LBA density —
     4 (Φ, φ) pairs per trial per chain — and is shared by the XLA and
     fused-kernel paths."""
+    from ..utils import dists as _d
     e = jnp.exp(-0.5 * x * x)
-    t = 1.0 / (1.0 + 0.3275911 * (jnp.abs(x) * _INV_SQRT2))
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-                + t * (-1.453152027 + t * 1.061405429))))
-    half_erfc = 0.5 * e * poly           # erfc(|x|/√2) / 2
+    t = 1.0 / (1.0 + _d.AS_ERFC_P * (jnp.abs(x) * _INV_SQRT2))
+    half_erfc = 0.5 * e * _d.as_erfc_poly(t)   # erfc(|x|/√2) / 2
     Phi = jnp.where(x >= 0, 1.0 - half_erfc, half_erfc)
     return Phi, _INV_SQRT_2PI * e
 

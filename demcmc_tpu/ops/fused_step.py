@@ -518,12 +518,10 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         tail-relative error grows to ~1e-2 by |x|≈5, comparable to the
         f32 cancellation the per-cell path already incurs computing
         1-cdf).  Φ(z) = 0.5·erfc(-z/√2) is how jax.scipy lowers norm.cdf."""
+        from ..utils import dists as _d
         ax = jnp.abs(x)
-        t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
-        poly = t * (np.float32(0.254829592) + t * (np.float32(-0.284496736)
-               + t * (np.float32(1.421413741) + t * (np.float32(-1.453152027)
-               + t * np.float32(1.061405429)))))
-        y = jnp.exp(-ax * ax) * poly
+        t = 1.0 / (1.0 + np.float32(_d.AS_ERFC_P) * ax)
+        y = jnp.exp(-ax * ax) * _d.as_erfc_poly(t)
         return jnp.where(x >= 0, y, np.float32(2.0) - y)
 
     _overrides = {"erf": lambda invals, params: [_erf32(invals[0])],

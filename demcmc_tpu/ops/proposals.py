@@ -81,7 +81,13 @@ class ProposalContext:
             return "idx", _distinct_indices(self.draws, G, Np, n,
                                             exclude_self, replace)
         if slot is resample:
-            return "val", resample(self, None, n, exclude_self)
+            return "val", resample(self, None, n, exclude_self, replace)
+        # custom slot: forward `replace` when the slot's signature takes a
+        # fifth positional (the reference slot signature carries it,
+        # src/crossover.jl:138-140); older 4-arg slots keep working
+        if _slot_takes_replace(slot):
+            return "val", slot(self, self.next_key(), n, exclude_self,
+                               replace)
         return "val", slot(self, self.next_key(), n, exclude_self)
 
     def partners(self, n: int, exclude_self: bool, replace: bool = False):
@@ -97,6 +103,20 @@ class ProposalContext:
 # Partner-sampling strategies (the reference's `sample` slot,
 # src/crossover.jl:103-140)
 # ---------------------------------------------------------------------------
+
+def _slot_takes_replace(slot) -> bool:
+    """True when a custom ``sample`` slot accepts a fifth positional
+    (``replace``) — checked host-side once per trace."""
+    import inspect
+    try:
+        params = inspect.signature(slot).parameters.values()
+    except (TypeError, ValueError):
+        return False
+    n_pos = sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                for p in params)
+    has_var = any(p.kind == p.VAR_POSITIONAL for p in params)
+    return has_var or n_pos >= 5
+
 
 def _distinct_indices(draws, G: int, Np: int, n: int, exclude_self: bool,
                       replace: bool = False):
@@ -195,11 +215,18 @@ def sample_current(ctx: ProposalContext, key, n: int, exclude_self: bool,
     return _gather_partners(theta, idx)
 
 
-def resample(ctx: ProposalContext, key, n: int, exclude_self: bool):
+def resample(ctx: ProposalContext, key, n: int, exclude_self: bool,
+             replace: bool = False):
     """DE-MCz partners: uniform draws from the history of past states of
     *all* chains (ter Braak & Vrugt 2008; reference ``resample``,
     ``src/crossover.jl:113-124``).  Row range is the ``iter-1`` stored rows
     (prior-seeded ``n_initial`` rows included).  Returns ``[n, G, Np, d]``.
+
+    ``replace`` is accepted for slot-signature parity; draws are always
+    independent (with replacement) here — the documented delta vs the
+    reference's without-replacement ``StatsBase.sample``: the collision
+    probability of n≤3 draws over (rows·chains) ≥ n_initial·C pairs is
+    O(n²/(rows·C)) and vanishes as the history grows (see NOTES.md).
     """
     if ctx.history is None:
         raise ValueError("sample=resample requires a history buffer; "

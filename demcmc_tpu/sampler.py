@@ -283,16 +283,27 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
                               fire=fire.reshape(1, 1).astype(jnp.int32))
 
     def from_fused(state: SamplerState) -> SamplerState:
-        if state.fire is None:
-            return state
-        return state._replace(
-            theta=state.theta.reshape(d, C).T.reshape(G, Np, d),
-            weight=state.weight.reshape(G, Np), fire=None)
+        return _unpack_fused_state(state, G, Np, d)
 
     step.fused = True
     step.to_fused = to_fused
     step.from_fused = from_fused
     return step
+
+
+def _unpack_fused_state(state: SamplerState, G: int, Np: int,
+                        d: int) -> SamplerState:
+    """Fused kernel layout (theta ``[d, 8, C/8]``, weight ``[8, C/8]``,
+    ``fire`` set) back to the XLA layout (``[G, Np, d]`` / ``[G, Np]``,
+    ``fire=None``).  The single inverse of ``step.to_fused`` — used by the
+    fused step's ``from_fused`` and by ``sample`` when a fused-layout
+    checkpoint resumes on the XLA path."""
+    if state.fire is None:
+        return state
+    C = G * Np
+    return state._replace(
+        theta=state.theta.reshape(-1, C).T.reshape(G, Np, d),
+        weight=state.weight.reshape(G, Np), fire=None)
 
 
 def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
@@ -622,6 +633,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     done = 0
     emitted = 0                    # stored draws fed to the monitor
     ckpt_future = None             # in-flight async checkpoint write
+    last_ckpt = 0                  # outer step of the last checkpoint
     t0 = done0 = None
     while done < n_iter:
         n = min(chunk, n_iter - done)
@@ -658,7 +670,11 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
             print(f"\r[demcmc_tpu] {done * thin}/{n_iter_real} iterations"
                   f"{tail}", end="", flush=True)
         if (checkpoint_every and checkpoint_path
-                and done % checkpoint_every == 0):
+                # interval-elapsed, not divisibility: progress/stop_rhat
+                # chunking may make `done` skip over multiples of the
+                # checkpoint interval
+                and done - last_ckpt >= checkpoint_every):
+            last_ckpt = done
             from .utils.checkpoint import save_state
             if ckpt_future is not None:
                 ckpt_future.result()   # serialize writes; surface errors
@@ -733,11 +749,7 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     if fused:
         state = step.to_fused(state)      # no-op on a fused-layout resume
     elif state.fire is not None:          # fused checkpoint, XLA run
-        G, Np = de.n_groups, de.Np
-        state = state._replace(
-            theta=state.theta.reshape(spec.dim, -1).T.reshape(
-                G, Np, spec.dim),
-            weight=state.weight.reshape(G, Np), fire=None)
+        state = _unpack_fused_state(state, de.n_groups, de.Np, spec.dim)
     mon = None
     if monitor or stop_rhat is not None:
         from .utils.monitor import ConvergenceMonitor

@@ -15,6 +15,22 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.stats as jss
 
+# Abramowitz & Stegun 7.1.26 erfc approximation:
+#   erfc(x) ~= exp(-x^2) * t * poly(t),  t = 1 / (1 + AS_ERFC_P * x)
+# for x >= 0 (|abs err| < 1.5e-7).  The SINGLE source of these constants
+# — consumed by models/lba.py (_Phi_phi) and the fused kernel's erfc
+# override (ops/fused_step.py) so their accuracy claims stay in sync.
+AS_ERFC_P = 0.3275911
+AS_ERFC_COEFFS = (0.254829592, -0.284496736, 1.421413741,
+                  -1.453152027, 1.061405429)
+
+
+def as_erfc_poly(t):
+    """The Horner polynomial t·(a1 + t·(a2 + ...)) of A&S 7.1.26 in the
+    caller's dtype (coefficients enter as weak python floats)."""
+    a1, a2, a3, a4, a5 = AS_ERFC_COEFFS
+    return t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+
 
 def normal_logpdf(x, mu=0.0, sigma=1.0):
     return jss.norm.logpdf(x, mu, sigma)

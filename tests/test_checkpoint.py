@@ -145,3 +145,23 @@ def test_checkpoint_async_and_atomic(tmp_path):
     # no tmp debris left behind
     leftovers = [p for p in path.parent.iterdir() if ".tmp" in p.name]
     assert leftovers == []
+
+
+def test_checkpoint_fires_when_chunk_does_not_divide_interval(tmp_path):
+    """Progress/stop_rhat chunking makes `done` advance on a grid that can
+    skip every multiple of checkpoint_every; the interval-elapsed trigger
+    must still fire (the old `done % every == 0` trigger never would
+    here: chunk grid 6, interval 35, lcm 210 > n_iter)."""
+    from demcmc_tpu.models import gaussian
+    from demcmc_tpu.utils.checkpoint import load_state
+
+    model, de = gaussian.make(key=0, n_obs=20, n_groups=4, Np=4,
+                              burnin=20)
+    path = str(tmp_path / "cadence")
+    # stop_rhat=0 is unreachable -> full run, but forces progress-style
+    # chunking (ceil(120/20) = 6 outer steps per chunk)
+    dm.sample(model, de, 120, key=1, stop_rhat=0.0,
+              checkpoint_every=35, checkpoint_path=path)
+    st = load_state(path)           # must exist and be a late snapshot
+    it = int(st.iteration)
+    assert it >= 100

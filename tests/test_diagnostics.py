@@ -240,3 +240,14 @@ def test_sample_monitor_end_to_end():
     assert r is not None and 0.99 < r < 1.05
     ess = mon.ess_rough()
     assert np.all(ess > 50)
+
+
+def test_ess_device_degenerate_returns_nan():
+    """Constant chains (w=0) and too-few draws give NaN, matching the
+    numpy ess() contract — not a large finite number."""
+    import jax.numpy as jnp
+    import demcmc_tpu.diagnostics as dg
+    const = jnp.ones((500, 8))
+    assert np.isnan(float(dg.ess_device(const)))
+    tiny = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)))
+    assert np.isnan(float(dg.ess_device(tiny)))

@@ -322,3 +322,23 @@ def test_in_kernel_migration_bitexact_on_tpu():
     want_t, want_w = _np_migration_oracle(theta, w, u, 17, gum)
     np.testing.assert_array_equal(got_t, want_t)
     np.testing.assert_array_equal(got_w, want_w)
+
+
+def test_gaussian_batched_density_shift_invariant():
+    """The folded sufficient-statistics density must agree with the
+    elementwise sum for NON-CENTERED data (raw second moments cancel
+    catastrophically in f32 at data ~ N(1000, 1); the centered folding
+    must not)."""
+    rng_ = np.random.default_rng(0)
+    for loc in (0.0, 1000.0, -5000.0):
+        data = np.asarray(rng_.normal(loc, 1.0, 50), np.float32)
+        mu = np.asarray(loc + rng_.normal(0, 1, (8, 16)), np.float32)
+        sigma = np.asarray(np.exp(rng_.normal(0, 0.2, (8, 16))), np.float32)
+        got = np.asarray(gaussian.loglike_batched(data, mu, sigma))
+        want = np.stack([
+            [float(gaussian.loglike(np.asarray(data, np.float64),
+                                    float(mu[i, j]), float(sigma[i, j])))
+             for j in range(16)] for i in range(8)])
+        # f32 density vs f64 oracle: a few f32 ulps at |logp| ~ 200
+        # (pre-fix errors at loc=1000 were O(1-2) — MH-delta scale)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.02)
