@@ -29,7 +29,8 @@ from .ops.accept import (compute_posterior, evaluate_fun, greedy_update,
                          maximize, mh_update, minimize)
 from .ops.proposals import (fixed_gamma, random_gamma, resample,
                             sample_current, snooker, variable_gamma)
-from .optimize import Population, get_optimal, optimize
+from .optimize import (Population, get_optimal, optimize,
+                       optimize_replicated)
 from .particle import Particle
 from .sampler import (SamplerState, init_state, make_spec, sample,
                       sample_replicated)
@@ -46,6 +47,7 @@ __all__ = [
     "DE", "DEModel", "MCMCThreads", "Chains", "ParamSpec", "Particle",
     "Population",
     "SamplerState", "sample", "sample_replicated", "optimize",
+    "optimize_replicated",
     "get_optimal", "init_state",
     "make_spec", "random_gamma", "fixed_gamma", "variable_gamma", "snooker",
     "resample", "sample_current", "mh_update", "maximize", "minimize",

@@ -58,18 +58,7 @@ def optimize(model: DEModel, de: DE, *args, key=0, progress: bool = False,
         raise TypeError("expected optimize(model, de, n_iter)")
     n_iter = int(args[0])
 
-    if de.is_mh:
-        raise ValueError(
-            "optimize requires update_particle='maximize' or 'minimize' "
-            "(and evaluate_fitness='fun'), like the reference")
-    from .ops.accept import compute_posterior
-    if de.is_minimize and de.evaluate_fitness in ("posterior",
-                                                  compute_posterior):
-        raise ValueError(
-            "minimize with the posterior fitness is ill-posed: "
-            "out-of-bounds proposals score -inf and would be 'optimal'. "
-            "Set evaluate_fitness='fun' (objective-only; out-of-bounds "
-            "scores +inf when minimizing)")
+    _check_opt_config(de)
 
     spec = make_spec(model, de)
     start = None if de.uses_resample else 1   # reference: de.iter = iter
@@ -85,6 +74,54 @@ def optimize(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     return Population(theta=np.asarray(state.theta).reshape(C, d),
                       weight=np.asarray(state.weight).reshape(C),
                       spec=spec)
+
+
+def _check_opt_config(de: DE):
+    if de.is_mh:
+        raise ValueError(
+            "optimize requires update_particle='maximize' or 'minimize' "
+            "(and evaluate_fitness='fun'), like the reference")
+    from .ops.accept import compute_posterior
+    if de.is_minimize and de.evaluate_fitness in ("posterior",
+                                                  compute_posterior):
+        raise ValueError(
+            "minimize with the posterior fitness is ill-posed: "
+            "out-of-bounds proposals score -inf and would be 'optimal'. "
+            "Set evaluate_fitness='fun' (objective-only; out-of-bounds "
+            "scores +inf when minimizing)")
+
+
+def optimize_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
+                        keys=None) -> list:
+    """R independent optimizations — one dataset each (per-subject MLE
+    fits, objective sweeps) — as ONE vmapped device program; the
+    optimization analogue of :func:`demcmc_tpu.sample_replicated` (same
+    ``make_model``/``datasets``/``keys`` contract).  Returns a list of R
+    :class:`Population`; feed each to :func:`get_optimal`."""
+    import jax
+
+    from .sampler import _build_step_uncached, _replicated_setup
+
+    _check_opt_config(de)
+    datasets, keys, model0, spec, R = _replicated_setup(
+        make_model, de, datasets, key, keys)
+    start = None if de.uses_resample else 1   # reference: de.iter = iter
+
+    def one(data, k):
+        model = make_model(data)
+        step = _build_step_uncached(model, de, spec)
+        state = init_state(model, de, spec, k, start_iteration=start)
+        state = _grow_history(state, n_iter)
+        state, _ = jax.lax.scan(lambda s, x: (step(s)[0], None), state,
+                                None, length=n_iter)
+        return state.theta, state.weight
+
+    theta, weight = jax.jit(jax.vmap(one))(datasets, keys)
+    theta, weight = np.asarray(theta), np.asarray(weight)
+    C, d = de.n_chains, spec.dim
+    return [Population(theta=theta[r].reshape(C, d),
+                       weight=weight[r].reshape(C), spec=spec)
+            for r in range(R)]
 
 
 def get_optimal(de: DE, model: DEModel, particles: Population):

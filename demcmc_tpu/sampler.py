@@ -816,6 +816,33 @@ def bundle_samples(model: DEModel, de: DE, spec: ParamSpec, ys: StepOutput,
     return Chains.from_samples(theta, acc, lp, spec)
 
 
+def _replicated_setup(make_model, de: DE, datasets, key, keys):
+    """Shared plumbing of :func:`sample_replicated` /
+    :func:`demcmc_tpu.optimize.optimize_replicated`: validate the leading
+    replication axis, build the spec from replication 0's concrete data,
+    and resolve per-replication keys."""
+    leaves = jax.tree.leaves(datasets)
+    if not leaves:
+        raise ValueError("datasets is empty")
+    R = int(np.asarray(leaves[0]).shape[0])
+    for x in leaves:
+        if int(np.asarray(x).shape[0]) != R:
+            raise ValueError("all dataset leaves need the same leading "
+                             "replication axis")
+    datasets = jax.tree.map(jnp.asarray, datasets)
+    example = jax.tree.map(lambda x: x[0], datasets)
+    model0 = make_model(example)
+    spec = make_spec(model0, de)
+    if keys is None:
+        keys = jax.random.split(rng.ensure_key(key), R)
+    else:
+        keys = jnp.stack([rng.ensure_key(k) for k in keys]) \
+            if isinstance(keys, (list, tuple)) else jnp.asarray(keys)
+        if keys.shape[0] != R:
+            raise ValueError(f"{keys.shape[0]} keys for {R} replications")
+    return datasets, keys, model0, spec, R
+
+
 def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
                       thin: int = 1, keys=None):
     """Run R independent replications — one dataset per replication — as
@@ -844,18 +871,8 @@ def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
 
     Returns a list of R :class:`Chains`.
     """
-    leaves = jax.tree.leaves(datasets)
-    if not leaves:
-        raise ValueError("datasets is empty")
-    R = int(np.asarray(leaves[0]).shape[0])
-    for x in leaves:
-        if int(np.asarray(x).shape[0]) != R:
-            raise ValueError("all dataset leaves need the same leading "
-                             "replication axis")
-    datasets = jax.tree.map(jnp.asarray, datasets)
-    example = jax.tree.map(lambda x: x[0], datasets)
-    model0 = make_model(example)
-    spec = make_spec(model0, de)
+    datasets, keys, model0, spec, R = _replicated_setup(
+        make_model, de, datasets, key, keys)
 
     if thin > 1:
         if n_iter % thin:
@@ -864,13 +881,6 @@ def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
         if de.discard_burnin and de.burnin % thin:
             raise ValueError(f"burnin ({de.burnin}) must be divisible by "
                              f"thin ({thin})")
-    if keys is None:
-        keys = jax.random.split(rng.ensure_key(key), R)
-    else:
-        keys = jnp.stack([rng.ensure_key(k) for k in keys]) \
-            if isinstance(keys, (list, tuple)) else jnp.asarray(keys)
-        if keys.shape[0] != R:
-            raise ValueError(f"{keys.shape[0]} keys for {R} replications")
 
     def one(data, k):
         model = make_model(data)

@@ -100,3 +100,32 @@ def test_replicated_thin_and_validation():
     with pytest.raises(ValueError):
         dm.sample_replicated(_make_model, de, 300, datasets,
                              keys=[jax.random.PRNGKey(0)])
+
+
+def test_optimize_replicated_per_dataset_mle():
+    """Each replication's DE optimization finds ITS dataset's MLE
+    (mean, uncorrected std), like the reference's maximize! test."""
+    import jax.numpy as jnp
+    from demcmc_tpu import get_optimal, optimize_replicated
+
+    def make_model(data):
+        def loglike(data, mu, sigma):
+            return jnp.sum(
+                -0.5 * jnp.log(2 * jnp.pi) - jnp.log(sigma)
+                - 0.5 * ((data - mu) / sigma) ** 2)
+        return dm.DEModel(loglike=loglike,
+                          sample_prior=gaussian.sample_prior,
+                          names=("mu", "sigma"), data=data)
+
+    rng_ = np.random.default_rng(4)
+    mus = np.array([-1.5, 2.0])
+    datasets = jnp.asarray(rng_.normal(mus[:, None], 1.0, (2, 60)),
+                           jnp.float32)
+    de = dm.DE(bounds=gaussian.BOUNDS, n_groups=2, Np=12, burnin=0,
+               update_particle="maximize", evaluate_fitness="fun")
+    pops = optimize_replicated(make_model, de, 1500, datasets, key=2)
+    for r in range(2):
+        x = np.asarray(datasets[r], np.float64)
+        theta, best = get_optimal(de, make_model(datasets[r]), pops[r])
+        assert abs(float(theta["mu"]) - x.mean()) < 1e-3, r
+        assert abs(float(theta["sigma"]) - x.std()) < 1e-3, r
