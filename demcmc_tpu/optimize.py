@@ -92,19 +92,21 @@ def _check_opt_config(de: DE):
 
 
 def optimize_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
-                        keys=None) -> list:
+                        keys=None, mesh=None) -> list:
     """R independent optimizations — one dataset each (per-subject MLE
     fits, objective sweeps) — as ONE vmapped device program; the
     optimization analogue of :func:`demcmc_tpu.sample_replicated` (same
-    ``make_model``/``datasets``/``keys`` contract).  Returns a list of R
-    :class:`Population`; feed each to :func:`get_optimal`."""
+    ``make_model``/``datasets``/``keys``/``mesh`` contract).  Returns a
+    list of R :class:`Population`; feed each to :func:`get_optimal`."""
     import jax
 
-    from .sampler import _build_step_uncached, _replicated_setup
+    from .sampler import (_build_step_uncached, _replicated_setup,
+                          _shard_replications)
 
     _check_opt_config(de)
     datasets, keys, model0, spec, R = _replicated_setup(
         make_model, de, datasets, key, keys)
+    datasets, keys = _shard_replications(datasets, keys, mesh, R)
     start = None if de.uses_resample else 1   # reference: de.iter = iter
 
     def one(data, k):

@@ -843,8 +843,28 @@ def _replicated_setup(make_model, de: DE, datasets, key, keys):
     return datasets, keys, model0, spec, R
 
 
+def _shard_replications(datasets, keys, mesh, R: int):
+    """Place the replication axis over a device mesh: each device runs
+    R/n_dev whole replications — embarrassingly parallel (no cross-
+    replication ops, so GSPMD inserts no collectives in the hot loop)."""
+    if mesh is None:
+        return datasets, keys
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n_dev = mesh.devices.size
+    if R % n_dev:
+        raise ValueError(f"{R} replications must divide over "
+                         f"{n_dev} devices")
+    axis = mesh.axis_names[0]
+
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+
+    return jax.tree.map(put, datasets), put(keys)
+
+
 def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
-                      thin: int = 1, keys=None):
+                      thin: int = 1, keys=None, mesh=None):
     """Run R independent replications — one dataset per replication — as
     ONE vmapped device program.
 
@@ -868,11 +888,17 @@ def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
         bitwise identical to ``sample(make_model(datasets[r]), de, n_iter,
         key=keys[r])`` on the XLA step path.
     thin : keep every ``thin``-th draw (as in :func:`sample`).
+    mesh : optional 1-axis ``jax.sharding.Mesh`` — shards the REPLICATION
+        axis over devices (R must divide the device count): each chip
+        runs its own subset of whole replications, embarrassingly
+        parallel (contrast ``sample(mesh=...)``, which shards the groups
+        of one run).
 
     Returns a list of R :class:`Chains`.
     """
     datasets, keys, model0, spec, R = _replicated_setup(
         make_model, de, datasets, key, keys)
+    datasets, keys = _shard_replications(datasets, keys, mesh, R)
 
     if thin > 1:
         if n_iter % thin:

@@ -129,3 +129,25 @@ def test_optimize_replicated_per_dataset_mle():
         theta, best = get_optimal(de, make_model(datasets[r]), pops[r])
         assert abs(float(theta["mu"]) - x.mean()) < 1e-3, r
         assert abs(float(theta["sigma"]) - x.std()) < 1e-3, r
+
+
+def test_replicated_sharded_over_mesh_matches_unsharded():
+    """mesh= shards the replication axis over 8 virtual devices; each
+    replication's chains match the unsharded run."""
+    from demcmc_tpu.parallel import chain_mesh
+
+    rng_ = np.random.default_rng(5)
+    datasets = jnp.asarray(
+        rng_.normal([[-1.0], [0.0], [1.0], [2.0]] * 2, 1.0, (8, 40)),
+        jnp.float32)
+    de = _de(burnin=100)
+    plain = dm.sample_replicated(_make_model, de, 300, datasets, key=9)
+    mesh = chain_mesh(8)
+    shard = dm.sample_replicated(_make_model, de, 300, datasets, key=9,
+                                 mesh=mesh)
+    for r in range(8):
+        np.testing.assert_allclose(shard[r].data, plain[r].data,
+                                   rtol=2e-5, atol=1e-5)
+    with pytest.raises(ValueError):
+        dm.sample_replicated(_make_model, de, 300,
+                             datasets[:6], key=9, mesh=mesh)
