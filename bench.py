@@ -19,7 +19,6 @@ the two models on one chip.
 """
 
 import json
-import sys
 import time
 
 import jax

@@ -50,7 +50,6 @@ from __future__ import annotations
 
 import functools
 import os
-import warnings
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +57,6 @@ import numpy as np
 
 from .. import rng
 from . import accept as accept_ops
-from . import migration as migration_ops
 from . import proposals as proposal_ops
 
 try:

@@ -9,7 +9,6 @@ replicates that.
 
 from __future__ import annotations
 
-import jax
 
 from .. import rng
 
