@@ -84,6 +84,12 @@ MIG_MAX_G = 1024
 SUPER_K = 8
 
 
+def super_k() -> int:
+    """Iterations per superstep launch; ``DEMCMC_SUPER_K`` overrides the
+    default (on-chip K-scan knob — any K is bitwise-equivalent)."""
+    return int(os.environ.get("DEMCMC_SUPER_K", SUPER_K))
+
+
 def _mode():
     """'auto' (TPU only), 'off', or 'interpret' (CPU testing)."""
     return os.environ.get("DEMCMC_FUSED", "auto")
@@ -123,6 +129,39 @@ def supported(model, de, spec) -> bool:
     if de.Np < 3 or de.Np > 64:        # need 2 distinct non-self partners;
         return False                   # roll dictionary is 2·Np-1 copies
     return True
+
+
+def local_de(de, n_dev: int):
+    """The per-device view of a sharded configuration: each device runs
+    the fused kernel over its own ``n_groups // n_dev`` groups (groups
+    are independent within an iteration — SURVEY §3.2)."""
+    from dataclasses import replace
+    return replace(de, n_groups=de.n_groups // n_dev)
+
+
+def sharded_supported(model, de, spec, mesh) -> bool:
+    """Can this configuration run the fused kernel under ``shard_map``
+    on ``mesh``?  Requires a 1-axis mesh whose device count divides the
+    packed chain layout so each shard is itself a valid fused layout
+    (``Gr % D == 0``: every sublane row's group blocks split evenly on
+    the lane axis), ≥ 2 groups per device (the in-kernel α-gate draw
+    needs a real local population), and :func:`supported` on the
+    per-device configuration."""
+    if mesh is None or len(mesh.axis_names) != 1:
+        return False
+    n_dev = int(mesh.devices.size)
+    if n_dev == 1:
+        return supported(model, de, spec)
+    G, Np = de.n_groups, de.Np
+    C = G * Np
+    if G % n_dev or G // n_dev < 2:
+        return False
+    if C % _R or (C // _R) % n_dev or (C // _R // n_dev) % Np:
+        return False
+    # groups-per-row must split evenly across devices on the lane axis
+    if (C // _R // Np) % n_dev:
+        return False
+    return supported(model, local_de(de, n_dev), spec)
 
 
 # ---------------------------------------------------------------------------

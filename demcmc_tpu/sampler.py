@@ -95,7 +95,7 @@ def _spec_key(spec: ParamSpec):
 
 
 def build_step(model: DEModel, de: DE, spec: ParamSpec,
-               allow_fused: bool = True):
+               allow_fused: bool = True, mesh=None):
     """Build the fused one-iteration step function (pure, jittable).
 
     All randomness for one iteration comes from a single :class:`rng.Pool`
@@ -109,22 +109,35 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec,
     MH, f32) get the fused step instead — ONE kernel per iteration, with
     the state carried in the kernel's ``[d, C]`` layout (the returned
     function has ``.fused = True`` plus ``to_fused``/``from_fused``
-    converters).  ``allow_fused=False`` forces the XLA step (required
-    under a device mesh — the Pallas kernel is single-device).
+    converters).  ``allow_fused=False`` forces the XLA step.
 
-    The built step is cached on the model per (de, spec): repeated
+    Under a device mesh the kernel composes with ``jax.shard_map``:
+    every device runs the kernel over its own shard of the lane-packed
+    population (groups are iteration-independent, SURVEY §3.2) with a
+    per-shard folded PRNG key, and migration — the only cross-group
+    communication — stays on the XLA/GSPMD path at global level.
+    Configurations :func:`~demcmc_tpu.ops.fused_step.sharded_supported`
+    rejects fall back to the GSPMD-partitioned XLA step.
+
+    The built step is cached on the model per (de, spec, mesh): repeated
     ``sample``/``optimize`` calls with the same configuration reuse one
     function object, so the driver's jitted scans hit the compile cache
     instead of recompiling every call.
     """
     from .ops import fused_step as fused_mod
-    allow_fused = allow_fused and fused_mod.supported(model, de, spec)
+    if mesh is not None:
+        allow_fused = allow_fused and fused_mod.sharded_supported(
+            model, de, spec, mesh)
+        if mesh.devices.size == 1:
+            mesh = None                  # single-device mesh: plain path
+    else:
+        allow_fused = allow_fused and fused_mod.supported(model, de, spec)
     try:
         cache = model.__dict__.setdefault("_step_cache", {})
         # the frozen content key, NOT the DE object: distinct-but-equal DE
         # configs with ndarray blocks would hash equal but make the dict's
         # __eq__ fallback raise the ambiguous-array ValueError
-        cache_key = (de._static_key(), _spec_key(spec), allow_fused)
+        cache_key = (de._static_key(), _spec_key(spec), allow_fused, mesh)
         hash(cache_key)
     except TypeError:
         cache, cache_key = None, None
@@ -133,7 +146,7 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec,
     step = None
     if allow_fused:
         try:
-            step = _build_fused_wrapped(model, de, spec)
+            step = _build_fused_wrapped(model, de, spec, mesh=mesh)
         except Exception as e:                   # unsupported-op fallback
             import warnings
             warnings.warn(f"fused step unavailable ({e}); using XLA step")
@@ -151,7 +164,44 @@ def _raw_key(key):
     return jax.random.key_data(key).astype(jnp.uint32)
 
 
-def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
+def _shard_wrap(kern, mesh):
+    """Wrap a per-device fused kernel as a global-array call via
+    ``jax.shard_map``: the lane axis of the packed ``[d, 8, C/8]``
+    population shards over the mesh (each shard is itself a valid fused
+    layout over ``G / D`` groups — groups never interact inside an
+    iteration, SURVEY §3.2), and each device folds its mesh index into
+    the PRNG key so shards draw decorrelated streams.  The exported
+    look-ahead migration gate is taken from shard 0 (one valid
+    Bernoulli(α) draw; the per-shard exports are equally valid but must
+    not disagree).  Note the cross-layout RNG contract: a sharded run is
+    statistically — not bitwise — equal to the single-device run (same
+    contract as the XLA path across shardings, docs/scaling.md)."""
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+
+    def local_fn(theta3, weight3, key2, it, fire):
+        idx = jax.lax.axis_index(axis)
+        key = jax.random.wrap_key_data(key2, impl="threefry2x32")
+        key2_l = jax.random.key_data(
+            jax.random.fold_in(key, idx)).astype(jnp.uint32)
+        return kern(theta3, weight3, key2_l, it, fire)
+
+    sm = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, axis), P(), P(), P()),
+        out_specs=(P(None, None, None, axis), P(None, None, axis),
+                   P(None, None, axis), P(axis, None)),
+        check_vma=False)
+
+    def wrapped(theta3, weight3, key2, it, fire):
+        t, wout, acc, f = sm(theta3, weight3, key2,
+                             jnp.asarray(it), fire)
+        return t, wout, acc, f[:1]
+    return wrapped
+
+
+def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
+                         mesh=None):
     """Wrap the whole-step Pallas kernel as a scan-compatible step over a
     fused-layout :class:`SamplerState` (theta ``[d, 8, C/8]``, weight
     ``[8, C/8]`` — the kernel's sublane×lane chain packing, chain
@@ -171,10 +221,24 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     R = fused_mod._R
     Cf = C // R
     alpha = float(de.alpha) if G > 1 else 0.0
-    mig_ik = 0.0 < alpha and 2 <= G <= fused_mod.MIG_MAX_G
+    # under a mesh, migration (the only cross-group op) stays on the
+    # XLA/GSPMD path at GLOBAL level — a per-shard in-kernel migration
+    # would only exchange within each device's groups, changing the
+    # reference semantics (migration.jl:31-35 draws from ALL groups)
+    mig_ik = (mesh is None and 0.0 < alpha
+              and 2 <= G <= fused_mod.MIG_MAX_G)
+
+    def _mk(K, mig_in_kernel):
+        if mesh is None:
+            return fused_mod.build_fused_step(
+                model, de, spec, K=K, mig_in_kernel=mig_in_kernel)
+        kern = fused_mod.build_fused_step(
+            model, fused_mod.local_de(de, int(mesh.devices.size)), spec,
+            K=K, mig_in_kernel=False)
+        return _shard_wrap(kern, mesh)
+
     try:
-        k1 = fused_mod.build_fused_step(model, de, spec, K=1,
-                                        mig_in_kernel=mig_ik)
+        k1 = _mk(1, mig_ik)
     except Exception:
         if not mig_ik:
             raise
@@ -182,8 +246,7 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         # the XLA path (density build errors re-raise below and the
         # caller falls back to the XLA step)
         mig_ik = False
-        k1 = fused_mod.build_fused_step(model, de, spec, K=1,
-                                        mig_in_kernel=False)
+        k1 = _mk(1, False)
 
     def mig(state, t3, w3, fire=True):
         # big-G path only: XLA migration BEFORE the update, like the
@@ -206,6 +269,11 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     # measured on-chip by validation/mig_gate_bench.py.
     import os as _os
     branchless = _os.environ.get("DEMCMC_MIG_GATE", "cond") == "branchless"
+    if mesh is not None:
+        # keep the shard_map region out of lax.cond branches (GSPMD
+        # partitioning of manual regions under cond is fragile); the
+        # masked exchange is bitwise identical either way
+        branchless = True
 
     def _call(kern, state):
         it = state.iteration
@@ -247,10 +315,9 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         if not (mig_ik or alpha == 0.0):
             return None                  # data-dependent XLA migration
         if not _super:
+            sk = fused_mod.super_k()
             try:
-                kk = fused_mod.build_fused_step(
-                    model, de, spec, K=fused_mod.SUPER_K,
-                    mig_in_kernel=mig_ik)
+                kk = _mk(sk, mig_ik)
             except Exception:
                 _super.append(None)
             else:
@@ -258,14 +325,15 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
                     t, wout, acc, fire = _call(kk, state)
                     new_state = SamplerState(
                         theta=t[-1], weight=wout[-1], key=state.key,
-                        iteration=state.iteration + fused_mod.SUPER_K,
+                        iteration=state.iteration + sk,
                         history=None, fire=fire)
                     return new_state, StepOutput(theta=t, accept=acc,
                                                  lp=wout)
+                step.superstep_k = sk
                 _super.append(superstep)
         return _super[0]
 
-    step.superstep_k = fused_mod.SUPER_K
+    step.superstep_k = fused_mod.super_k()
     step.get_superstep = get_superstep
 
     def to_fused(state: SamplerState) -> SamplerState:
@@ -279,8 +347,21 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         fire = jax.random.bernoulli(
             jax.random.fold_in(rng.step_key(state.key, state.iteration),
                                rng.MIGRATE + 1), alpha)
-        return state._replace(theta=theta3, weight=w3,
-                              fire=fire.reshape(1, 1).astype(jnp.int32))
+        out = state._replace(theta=theta3, weight=w3,
+                             fire=fire.reshape(1, 1).astype(jnp.int32))
+        if mesh is not None:
+            # lane axis of the packed layout over the mesh (matches the
+            # shard_map in_specs; one explicit relayout instead of a
+            # GSPMD-inferred one on the first step)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]
+            out = out._replace(
+                theta=jax.device_put(
+                    out.theta, NamedSharding(mesh, P(None, None, axis))),
+                weight=jax.device_put(
+                    out.weight, NamedSharding(mesh, P(None, axis))),
+                fire=jax.device_put(out.fire, NamedSharding(mesh, P())))
+        return out
 
     def from_fused(state: SamplerState) -> SamplerState:
         return _unpack_fused_state(state, G, Np, d)
@@ -592,6 +673,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     sup_fn = None
     if sup_k and thin == 1 and collect and n_iter >= sup_k:
         sup_fn = base_step.get_superstep()
+        sup_k = base_step.superstep_k    # authoritative once built
     super_scan = None
     if sup_fn is not None:
         super_scan = jit_cache.get("super")
@@ -743,8 +825,9 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     if thin > 1 and de.discard_burnin and de.burnin % thin:
         raise ValueError(f"burnin ({de.burnin}) must be divisible by "
                          f"thin ({thin})")
-    # the Pallas fused step is single-device; force the XLA step on a mesh
-    step = build_step(model, de, spec, allow_fused=mesh is None)
+    # fused kernel when supported (under a mesh: shard_map composition,
+    # falling back to the GSPMD-partitioned XLA step otherwise)
+    step = build_step(model, de, spec, mesh=mesh)
     fused = getattr(step, "fused", False)
     if fused:
         state = step.to_fused(state)      # no-op on a fused-layout resume

@@ -1,0 +1,175 @@
+"""Tests for the fused Pallas kernel composed with device sharding
+(``jax.shard_map`` over the lane axis of the packed population —
+``sampler._shard_wrap``).
+
+Interpret mode under shard_map is ~1 s/step on this harness, so instead
+of statistical runs the composition is validated BITWISE: a manual
+"stitch" reference reproduces exactly what the sharded step must compute
+— the per-device local kernel on each lane shard with the shard-folded
+PRNG key, plus the global XLA migration (branchless gate) between steps
+— and the sharded step's output must match it to the bit.  The local
+kernel itself is validated against oracles in ``test_fused_step.py``;
+reference semantics: groups are iteration-independent
+(``src/main.jl:135-148`` — the thread boundary), migration is the only
+cross-group op (``src/migration.jl:11-91``) and runs at GLOBAL level.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from demcmc_tpu import rng
+from demcmc_tpu.models import gaussian
+from demcmc_tpu.ops import fused_step, migration as migration_ops
+from demcmc_tpu.sampler import (_shard_state, build_step, init_state,
+                                make_spec)
+
+F32_DATA = np.asarray(
+    np.random.default_rng(3).normal(0.0, 1.0, 50), np.float32)
+
+
+def _make(**kw):
+    kw.setdefault("Np", 4)
+    kw.setdefault("n_groups", 64)
+    kw.setdefault("burnin", 50)
+    return gaussian.make(data=F32_DATA, **kw)
+
+
+@pytest.fixture()
+def interpret(monkeypatch):
+    monkeypatch.setenv("DEMCMC_FUSED", "interpret")
+
+
+def _mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual CPU devices")
+    return Mesh(np.array(devs[:8]), ("chains",))
+
+
+def test_sharded_supported_predicate(interpret):
+    mesh = _mesh()
+    model, de = _make()                    # G=64, Np=4: C=256, Cf=32
+    spec = make_spec(model, de)
+    assert fused_step.sharded_supported(model, de, spec, mesh)
+    # G not divisible by D
+    m2, d2 = _make(n_groups=60, Np=4)
+    assert not fused_step.sharded_supported(m2, d2, make_spec(m2, d2), mesh)
+    # < 2 groups per device
+    m3, d3 = _make(n_groups=8, Np=32)
+    assert not fused_step.sharded_supported(m3, d3, make_spec(m3, d3), mesh)
+    # no mesh
+    assert not fused_step.sharded_supported(model, de, spec, None)
+
+
+def _fold_key(key, idx):
+    return jax.random.key_data(
+        jax.random.fold_in(jax.random.wrap_key_data(
+            key, impl="threefry2x32"), idx)).astype(jnp.uint32)
+
+
+def _stitch_steps(model, de, spec, state0, n_steps, n_dev=8):
+    """Reference: replay the sharded step with a Python loop over lane
+    shards (local kernel per shard, shard-folded key) and the global XLA
+    migration between steps — what shard_map must compute, serially."""
+    d = spec.dim
+    G, Np = de.n_groups, de.Np
+    alpha = float(de.alpha) if G > 1 else 0.0
+    kern = fused_step.build_fused_step(
+        model, fused_step.local_de(de, n_dev), spec, K=1,
+        mig_in_kernel=False)
+    t3 = np.asarray(state0.theta)
+    w3 = np.asarray(state0.weight)
+    fire = np.asarray(state0.fire)
+    # localize the mesh-replicated key to ONE device: a multi-device
+    # operand would drag the eager interpret-kernel call (io_callback
+    # inside) into SPMD partitioning, which rejects it
+    if jnp.issubdtype(state0.key.dtype, jnp.integer):
+        key_local = jnp.asarray(np.asarray(state0.key))
+    else:
+        key_local = jax.random.wrap_key_data(
+            jnp.asarray(np.asarray(jax.random.key_data(state0.key))),
+            impl="threefry2x32")
+    key2 = jnp.asarray(
+        np.asarray(jax.random.key_data(key_local), np.uint32))
+    Cf = t3.shape[-1]
+    L = Cf // n_dev
+    thetas = []
+    for s in range(n_steps):
+        it = int(state0.iteration) + s
+        if alpha > 0.0:
+            # the branchless global migration (sampler `mig`): exact
+            # replica of the sharded step's XLA path
+            fired = jnp.asarray(fire.reshape(()) > 0)
+            tg = jnp.transpose(jnp.asarray(t3).reshape(d, G, Np),
+                               (1, 2, 0))
+            wg = jnp.asarray(w3).reshape(G, Np)
+            kd = rng.KeyDraws(jax.random.fold_in(
+                rng.step_key(key_local, jnp.asarray(it)), rng.MIGRATE))
+            tgn, wgn = migration_ops.migrate(kd, tg, wg, G, fire=fired)
+            t3 = np.asarray(jnp.transpose(tgn, (2, 0, 1)).reshape(
+                d, t3.shape[1], Cf))
+            w3 = np.asarray(wgn.reshape(w3.shape))
+        nt = np.empty_like(t3)
+        nw = np.empty_like(w3)
+        fire_next = None
+        for k in range(n_dev):
+            sl = slice(k * L, (k + 1) * L)
+            tl, wl, _, fl = kern(jnp.asarray(t3[:, :, sl]),
+                                 jnp.asarray(w3[:, sl]),
+                                 _fold_key(key2, k), jnp.asarray(it),
+                                 jnp.asarray(fire))
+            nt[:, :, sl] = np.asarray(tl[0])
+            nw[:, sl] = np.asarray(wl[0])
+            if k == 0:
+                fire_next = np.asarray(fl)
+        t3, w3, fire = nt, nw, fire_next
+        thetas.append(t3.copy())
+    return thetas
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.7])
+def test_sharded_step_bitwise_matches_stitch(interpret, alpha):
+    """The shard_map-composed step must equal the per-shard stitch to
+    the bit, for alpha=0 (pure composition) and alpha=0.7 (global XLA
+    migration + shard-0 look-ahead gate exercised on most steps)."""
+    mesh = _mesh()
+    model, de = _make(alpha=alpha)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec, mesh=mesh)
+    assert getattr(step, "fused", False)
+    state = step.to_fused(_shard_state(init_state(model, de, spec, 7),
+                                       mesh))
+    want = _stitch_steps(model, de, spec, state, 3)
+    s = state
+    for i in range(3):
+        s, out = step(s)
+        got = np.asarray(jax.block_until_ready(s.theta))
+        np.testing.assert_array_equal(got, want[i], err_msg=f"step {i}")
+        assert np.isfinite(np.asarray(s.weight)).all()
+
+
+def test_sharded_superstep_bitwise(interpret, monkeypatch):
+    """alpha=0 sharded superstep (K>1 launches under shard_map) must be
+    bitwise identical to K sharded single steps."""
+    mesh = _mesh()
+    monkeypatch.setenv("DEMCMC_SUPER_K", "2")
+    model, de = _make(alpha=0.0)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec, mesh=mesh)
+    assert getattr(step, "fused", False)
+    sup = step.get_superstep()
+    assert sup is not None
+    state = step.to_fused(_shard_state(init_state(model, de, spec, 3),
+                                       mesh))
+    s1, _ = step(state)
+    s1, _ = step(s1)
+    s2, _ = sup(state)
+    np.testing.assert_array_equal(
+        np.asarray(jax.block_until_ready(s1.theta)),
+        np.asarray(jax.block_until_ready(s2.theta)))
+    np.testing.assert_array_equal(np.asarray(s1.weight),
+                                  np.asarray(s2.weight))

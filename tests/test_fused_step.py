@@ -305,6 +305,23 @@ def test_superstep_bitwise_equals_single_steps(interpret):
     assert np.array_equal(c1.acceptance, c2.acceptance)
 
 
+def test_superstep_k_env_override_bitwise(interpret, monkeypatch):
+    """DEMCMC_SUPER_K=16 (the on-chip K-scan knob) must stay bitwise
+    identical to the default K=8 supersteps — any K is just a different
+    launch batching of the same per-iteration PRNG stream."""
+    model, de = _make(burnin=100, alpha=0.3)
+    c1 = sample(model, de, 320, key=5)
+    monkeypatch.setenv("DEMCMC_SUPER_K", "16")
+    model2, de2 = _make(burnin=100, alpha=0.3)   # fresh step cache
+    spec2 = make_spec(model2, de2)
+    step2 = build_step(model2, de2, spec2)
+    assert step2.get_superstep() is not None
+    assert step2.superstep_k == 16
+    c2 = sample(model2, de2, 320, key=5)
+    assert np.array_equal(c1.data, c2.data)
+    assert np.array_equal(c1.acceptance, c2.acceptance)
+
+
 @pytest.mark.tpu
 def test_in_kernel_migration_bitexact_on_tpu():
     """On-chip run of the oracle test: catches MXU rounding (the one-hot
