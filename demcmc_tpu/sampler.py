@@ -584,14 +584,27 @@ def _shard_state(state: SamplerState, mesh):
         return state
     from jax.sharding import NamedSharding, PartitionSpec as P
     axis = mesh.axis_names[0]
-    shardings = SamplerState(
-        theta=NamedSharding(mesh, P(axis, None, None)),
-        weight=NamedSharding(mesh, P(axis, None)),
-        key=NamedSharding(mesh, P()),
-        iteration=NamedSharding(mesh, P()),
-        history=(None if state.history is None
-                 else NamedSharding(mesh, P(None, axis, None))),
-    )
+    if state.fire is not None:
+        # fused kernel layout (resumed fused checkpoint): theta
+        # [d, 8, C/8] / weight [8, C/8] shard on the LANE axis — the
+        # shard_map composition's layout (``_shard_wrap``)
+        shardings = SamplerState(
+            theta=NamedSharding(mesh, P(None, None, axis)),
+            weight=NamedSharding(mesh, P(None, axis)),
+            key=NamedSharding(mesh, P()),
+            iteration=NamedSharding(mesh, P()),
+            history=None,
+            fire=NamedSharding(mesh, P()),
+        )
+    else:
+        shardings = SamplerState(
+            theta=NamedSharding(mesh, P(axis, None, None)),
+            weight=NamedSharding(mesh, P(axis, None)),
+            key=NamedSharding(mesh, P()),
+            iteration=NamedSharding(mesh, P()),
+            history=(None if state.history is None
+                     else NamedSharding(mesh, P(None, axis, None))),
+        )
     return jax.tree.map(jax.device_put, state,
                         shardings, is_leaf=lambda x: x is None)
 
@@ -820,7 +833,6 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     # RESUMED states (a checkpointed history only covers past iterations;
     # without growth, new writes/reads would clamp to the last row)
     state = _grow_history(state, n_iter)
-    state = _shard_state(state, mesh)
 
     if thin > 1 and de.discard_burnin and de.burnin % thin:
         raise ValueError(f"burnin ({de.burnin}) must be divisible by "
@@ -829,10 +841,11 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     # falling back to the GSPMD-partitioned XLA step otherwise)
     step = build_step(model, de, spec, mesh=mesh)
     fused = getattr(step, "fused", False)
+    if not fused and state.fire is not None:   # fused checkpoint, XLA run
+        state = _unpack_fused_state(state, de.n_groups, de.Np, spec.dim)
+    state = _shard_state(state, mesh)     # layout-aware (XLA or fused)
     if fused:
         state = step.to_fused(state)      # no-op on a fused-layout resume
-    elif state.fire is not None:          # fused checkpoint, XLA run
-        state = _unpack_fused_state(state, de.n_groups, de.Np, spec.dim)
     mon = None
     if monitor or stop_rhat is not None:
         from .utils.monitor import ConvergenceMonitor

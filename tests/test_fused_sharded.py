@@ -152,6 +152,36 @@ def test_sharded_step_bitwise_matches_stitch(interpret, alpha):
         assert np.isfinite(np.asarray(s.weight)).all()
 
 
+@pytest.mark.slow
+def test_sharded_fused_resume_bitwise(interpret):
+    """Resuming a fused-layout state under a mesh must continue the run
+    bitwise (the lane-axis shardings apply to the fused layout — a
+    group-axis device_put on [d, 8, C/8] would be wrong/crash)."""
+    from demcmc_tpu import sample
+
+    mesh = _mesh()
+    model, de = _make(alpha=0.0, burnin=0)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec, mesh=mesh)
+    assert getattr(step, "fused", False)
+    state0 = step.to_fused(_shard_state(init_state(model, de, spec, 5),
+                                        mesh))
+    s = state0                              # continuous: 4 eager steps
+    for _ in range(4):
+        s, _ = step(s)
+    r = state0                              # 2 eager + 2 via resume
+    for _ in range(2):
+        r, _ = step(r)
+    assert r.fire is not None               # fused-layout resume state
+    _, s_res = sample(model, de, 2, key=5, mesh=mesh, state=r,
+                      return_state=True)
+    want = step.from_fused(s)               # sample() returns XLA layout
+    np.testing.assert_array_equal(np.asarray(s_res.theta),
+                                  np.asarray(want.theta))
+    np.testing.assert_array_equal(np.asarray(s_res.weight),
+                                  np.asarray(want.weight))
+
+
 def test_sharded_superstep_bitwise(interpret, monkeypatch):
     """alpha=0 sharded superstep (K>1 launches under shard_map) must be
     bitwise identical to K sharded single steps."""
