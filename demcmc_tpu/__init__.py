@@ -23,7 +23,8 @@ type (the sampler itself holds the population as one tensor; see
 from . import diagnostics, models, ops, parallel, utils
 from .chains import Chains
 from .config import DE, MCMCThreads
-from .diagnostics import ess, ess_bulk, rank_normalized_rhat, split_rhat
+from .diagnostics import (ess, ess_bulk, ess_tail,
+                          rank_normalized_rhat, split_rhat)
 from .model import DEModel, ParamSpec
 from .ops.accept import (compute_posterior, evaluate_fun, greedy_update,
                          maximize, mh_update, minimize)
@@ -52,7 +53,7 @@ __all__ = [
     "make_spec", "random_gamma", "fixed_gamma", "variable_gamma", "snooker",
     "resample", "sample_current", "mh_update", "maximize", "minimize",
     "greedy_update", "compute_posterior", "evaluate_fun", "as_union",
-    "split_rhat", "rank_normalized_rhat", "ess", "ess_bulk",
+    "split_rhat", "rank_normalized_rhat", "ess", "ess_bulk", "ess_tail",
     "save_state", "load_state", "DEMCMC",
     "diagnostics", "models", "ops", "parallel", "utils",
 ]

@@ -109,6 +109,20 @@ def ess_bulk(x) -> float:
     return _ess_from_splits(s)
 
 
+def ess_tail(x) -> float:
+    """Tail ESS (Stan / ArviZ ``ess_tail``, Vehtari et al. §4.3): the
+    minimum of the ESS of the 5% and 95% quantile indicator functions —
+    the resolution the chains have in the tails, which bulk ESS can
+    overstate badly for sticky tails."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    q05, q95 = np.quantile(x, [0.05, 0.95])
+    lo = _ess_from_splits(_split((x <= q05).astype(np.float64)))
+    hi = _ess_from_splits(_split((x <= q95).astype(np.float64)))
+    return float(min(lo, hi))
+
+
 def _ess_from_splits(s: np.ndarray) -> float:
     n, m = s.shape
     if n < 4:
@@ -198,5 +212,6 @@ def summary_stats(x) -> dict:
         "q97.5": float(np.quantile(flat, 0.975)),
         "ess": e,
         "ess_bulk": ess_bulk(x),
+        "ess_tail": ess_tail(x),
         "rhat": rank_normalized_rhat(x),
     }

@@ -53,6 +53,28 @@ def test_ess_bulk_iid_close_to_sample_size():
     assert 0.8 * x.size < e < 1.25 * x.size
 
 
+def test_ess_tail_iid_close_to_sample_size():
+    x = _iid(4000, 4)
+    e = dg.ess_tail(x)
+    assert 0.7 * x.size < e < 1.3 * x.size
+
+
+def test_ess_tail_detects_sticky_tails():
+    """Bulk-fine but tail-sticky chains: overdispersed draws whose tail
+    excursions are long runs.  Tail ESS must come out far below bulk."""
+    rng = np.random.default_rng(5)
+    n, c = 20000, 4
+    x = rng.standard_normal((n, c))
+    # rare LONG excursions deep into the tail (2 runs of 500 per chain):
+    # ~5% of the mass, so bulk autocorrelation stays modest while the
+    # q95-indicator flips in 500-long blocks
+    for start in (3000, 13000):
+        x[start:start + 500] = 4.0 + 0.1 * rng.standard_normal((500, c))
+    tail = dg.ess_tail(x)
+    assert tail < 0.5 * dg.ess_bulk(x)
+    assert tail < 0.05 * x.size
+
+
 @pytest.mark.parametrize("rho", [0.5, 0.9])
 def test_ess_ar1_ratio(rho):
     rng = np.random.default_rng(1)
@@ -77,7 +99,8 @@ def test_rhat_single_short_chain_nan():
 
 def test_summary_stats_keys():
     s = dg.summary_stats(_iid())
-    for k in ("mean", "std", "mcse", "q2.5", "q50", "q97.5", "ess", "rhat"):
+    for k in ("mean", "std", "mcse", "q2.5", "q50", "q97.5", "ess",
+              "ess_tail", "rhat"):
         assert k in s
     assert abs(s["mean"]) < 0.1
     assert abs(s["std"] - 1.0) < 0.1
