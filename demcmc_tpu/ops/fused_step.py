@@ -110,12 +110,22 @@ def supported(model, de, spec) -> bool:
         return False
     if de.uses_resample or de.blocks is not None:
         return False              # snooker IS supported (in-kernel branch)
-    if not de.is_mh or de.evaluate_fitness not in (
-            "posterior", accept_ops.compute_posterior):
+    if de.is_mh:
+        if de.evaluate_fitness not in ("posterior",
+                                       accept_ops.compute_posterior):
+            return False
+    elif de.update_particle in ("maximize", accept_ops.maximize,
+                                "minimize", accept_ops.minimize):
+        # optimization mode: greedy accept + objective-only fitness
+        # (evaluate_fun!, utilities.jl:113-120) fuse too
+        if de.evaluate_fitness not in ("fun", accept_ops.evaluate_fun):
+            return False
+    else:
         return False
     if getattr(model, "stochastic", False) or spec.has_int:
         return False
-    if model.loglike_batched is None or model.prior_loglike_batched is None:
+    if model.loglike_batched is None or (
+            de.is_mh and model.prior_loglike_batched is None):
         # without a chains-last batched density the in-kernel evaluation
         # would come from vmapping the per-cell form, which batches chains
         # onto the SUBLANE axis (intermediates [C, n_obs] + transposes) —
@@ -442,6 +452,15 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     if K > 1 and alpha > 0.0 and not mig_in_kernel:
         raise ValueError("K > 1 with alpha > 0 requires in-kernel "
                          "migration (the gate is data-dependent)")
+    # acceptance mode: MH sampling or greedy optimization
+    # (maximize!/minimize!, utilities.jl:212-226 — log_adj is ignored and
+    # the objective-only fitness scores out-of-bounds ∓inf)
+    if de.is_mh:
+        mode = "mh"
+    elif de.is_minimize:
+        mode = "min"
+    else:
+        mode = "max"
     gp = de.generate_proposal
     is_random_gamma = gp in (proposal_ops.random_gamma, "random_gamma")
     if gp in (proposal_ops.fixed_gamma, "fixed_gamma"):
@@ -460,7 +479,9 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         [C, n_obs] plus lane<->sublane transposes), which measured ~10x
         slower in-kernel."""
         cols = spec.unflatten_cols(prop3)
-        lp = model.prior_loglike_batched(*cols) + _ll(cols)
+        lp = _ll(cols)
+        if mode == "mh":
+            lp = model.prior_loglike_batched(*cols) + lp
         return lp.reshape(R, Cf).astype(dt)
 
     def _ll(cols):
@@ -896,10 +917,15 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             # dedicated post-burnin kernel, without an XLA-level branch
             @pl.when(it <= burnin)
             def _():
-                mx = _seg_last_bcast(_seg_scan(w, p, Np, jnp.maximum),
+                # min mode can carry +inf weights (out-of-bounds scores
+                # +inf); clamp for the CDF so exp(w - mx) stays finite
+                # while preserving select_base's larger-w preference
+                w_bs = (jnp.minimum(w, np.float32(3.0e38))
+                        if mode == "min" else w)
+                mx = _seg_last_bcast(_seg_scan(w_bs, p, Np, jnp.maximum),
                                      p, Np)
-                e = jnp.exp(w - jnp.where(jnp.isfinite(mx), mx,
-                                          jnp.zeros_like(mx)))
+                e = jnp.exp(w_bs - jnp.where(jnp.isfinite(mx), mx,
+                                             jnp.zeros_like(mx)))
                 q = _seg_scan(e, p, Np, jnp.add)   # [G, Np] group CDF
                 tot = _seg_last_bcast(q, p, Np)
                 u_bs = jnp.maximum(u_b, tiny) * tot
@@ -992,14 +1018,23 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             if np.isfinite(hi_b[i, 0]):
                 inb = inb & (row <= np.float32(hi_b[i, 0]))
         lp = lp_conv(prop, ship_vals)              # [R, Cf]
-        w_prop = jnp.where(inb & ~jnp.isnan(lp), lp, -jnp.inf)
+        bad = inf32 if mode == "min" else -inf32   # evaluate_fun!'s ∓inf
+        w_prop = jnp.where(inb & ~jnp.isnan(lp), lp, bad)
 
-        # ---- MH accept in log space (utilities.jl:201-210) ---------------
+        # ---- accept: MH in log space (utilities.jl:201-210) or greedy
+        # (maximize!/minimize!, utilities.jl:212-226; log_adj ignored).
+        # The u draw is unconditional so the stream layout is static
+        # across modes.
         u = jnp.maximum(uni(1), tiny)
-        delta = w_prop - w
-        if log_adj is not None:
-            delta = delta + log_adj
-        acc = jnp.log(u) <= delta
+        if mode == "mh":
+            delta = w_prop - w
+            if log_adj is not None:
+                delta = delta + log_adj
+            acc = jnp.log(u) <= delta
+        elif mode == "max":
+            acc = w_prop > w
+        else:
+            acc = w_prop < w
         new_t = jnp.where(acc, prop, theta)
         new_w = jnp.where(acc, w_prop, w)
         theta_sc[:] = new_t

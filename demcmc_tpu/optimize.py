@@ -66,9 +66,16 @@ def optimize(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     state = _grow_history(state, n_iter)
     state = _shard_state(state, mesh)
 
-    step = build_step(model, de, spec)
+    # greedy accept + evaluate_fun fuse too (ops/fused_step.py), so
+    # supported configs optimize in one Pallas kernel per iteration
+    step = build_step(model, de, spec, mesh=mesh)
+    fused = getattr(step, "fused", False)
+    if fused:
+        state = step.to_fused(state)
     state, _ = run_scan(step, state, n_iter, progress=progress,
                         collect=False)
+    if fused:
+        state = step.from_fused(state)
 
     C, d = de.n_chains, spec.dim
     return Population(theta=np.asarray(state.theta).reshape(C, d),

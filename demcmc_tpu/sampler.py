@@ -225,7 +225,11 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     # XLA/GSPMD path at GLOBAL level — a per-shard in-kernel migration
     # would only exchange within each device's groups, changing the
     # reference semantics (migration.jl:31-35 draws from ALL groups)
-    mig_ik = (mesh is None and 0.0 < alpha
+    # min-mode optimization can carry +inf weights (evaluate_fun!'s
+    # out-of-bounds score), which the in-kernel migration's one-hot
+    # weight transport cannot represent (its flag column covers -inf
+    # only) — keep migration on the XLA path there
+    mig_ik = (mesh is None and 0.0 < alpha and not de.is_minimize
               and 2 <= G <= fused_mod.MIG_MAX_G)
 
     def _mk(K, mig_in_kernel):

@@ -305,6 +305,41 @@ def test_superstep_bitwise_equals_single_steps(interpret):
     assert np.array_equal(c1.acceptance, c2.acceptance)
 
 
+def test_fused_optimize_rastrigin_min(interpret):
+    """Greedy minimize + evaluate_fun fuse (utilities.jl:113-120,220-226):
+    f32 Rastrigin reaches the 0 optimum through the kernel path."""
+    from demcmc_tpu.models import rastrigin
+    from demcmc_tpu.optimize import get_optimal, optimize
+
+    model, de = rastrigin.make(n_dim=2, Np=4, n_groups=32,
+                               dtype=np.float32)
+    spec = make_spec(model, de)
+    assert fused_step.supported(model, de, spec)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    pop = optimize(model, de, 800, key=3)
+    _, best = get_optimal(de, model, pop)
+    assert best < 1e-3
+    assert np.isfinite(pop.weight).all()
+
+
+def test_fused_optimize_gaussian_mle_max(interpret):
+    """Greedy maximize MLE through the kernel: recovers mean/std(ddof=0)
+    of the data (the reference's optimization_tests.jl:46-103 check, at
+    f32-appropriate tolerance)."""
+    from demcmc_tpu.optimize import get_optimal, optimize
+
+    model, de = _make(Np=4, n_groups=32, update_particle="maximize",
+                      evaluate_fitness="fun")
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    pop = optimize(model, de, 600, key=2)
+    theta, _ = get_optimal(de, model, pop)
+    assert abs(float(theta["mu"]) - F32_DATA.mean()) < 5e-3
+    assert abs(float(theta["sigma"]) - F32_DATA.std()) < 5e-3
+
+
 def test_superstep_k_env_override_bitwise(interpret, monkeypatch):
     """DEMCMC_SUPER_K=16 (the on-chip K-scan knob) must stay bitwise
     identical to the default K=8 supersteps — any K is just a different
