@@ -688,22 +688,24 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     # [S, K, ...] ys axes flatten to iterations inside the jit
     sup_k = getattr(base_step, "superstep_k", 0)
     sup_fn = None
-    if sup_k and thin == 1 and collect and n_iter >= sup_k:
+    if sup_k and thin == 1 and n_iter >= sup_k:
         sup_fn = base_step.get_superstep()
         sup_k = base_step.superstep_k    # authoritative once built
     super_scan = None
     if sup_fn is not None:
-        super_scan = jit_cache.get("super")
+        super_scan = jit_cache.get(("super", collect))
         if super_scan is None:
             @jax.jit
             def super_scan(s, n_dummy):
                 s, ys = jax.lax.scan(sup_fn, s, None,
                                      length=n_dummy.shape[0])
+                if not collect:       # optimization mode: carry only
+                    return s, None
                 ys = jax.tree.map(
                     lambda a: a.reshape((a.shape[0] * a.shape[1],)
                                         + a.shape[2:]), ys)
                 return s, ys
-            jit_cache["super"] = super_scan
+            jit_cache[("super", collect)] = super_scan
 
     def run_chunk(s, n):
         return chunk_scan(s, jnp.zeros((n,), jnp.int8))
@@ -715,7 +717,8 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
             ns, n = divmod(n, sup_k)
             if ns:
                 s, ys = super_scan(s, jnp.zeros((ns,), jnp.int8))
-                pieces.append(ys)
+                if collect:
+                    pieces.append(ys)
         if n:
             s, ys = run_chunk(s, n)
             if collect:

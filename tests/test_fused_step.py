@@ -323,6 +323,26 @@ def test_fused_optimize_rastrigin_min(interpret):
     assert np.isfinite(pop.weight).all()
 
 
+def test_fused_optimize_superstep_bitwise(interpret):
+    """alpha=0 optimization takes the collect=False superstep (one
+    launch per K iterations, trajectories discarded) — final population
+    must equal the single-step path to the bit."""
+    from demcmc_tpu.models import rastrigin
+    from demcmc_tpu.optimize import optimize
+
+    model, de = rastrigin.make(n_dim=2, Np=4, n_groups=32,
+                               dtype=np.float32, alpha=0.0)
+    pop1 = optimize(model, de, 64, key=3)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert step.get_superstep() is not None
+    step.get_superstep = lambda: None       # force single-step scans
+    step._scan_jit_cache.clear()
+    pop2 = optimize(model, de, 64, key=3)
+    np.testing.assert_array_equal(pop1.theta, pop2.theta)
+    np.testing.assert_array_equal(pop1.weight, pop2.weight)
+
+
 def test_fused_optimize_gaussian_mle_max(interpret):
     """Greedy maximize MLE through the kernel: recovers mean/std(ddof=0)
     of the data (the reference's optimization_tests.jl:46-103 check, at
