@@ -221,14 +221,13 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     R = fused_mod._R
     Cf = C // R
     alpha = float(de.alpha) if G > 1 else 0.0
-    # under a mesh, migration (the only cross-group op) stays on the
-    # XLA/GSPMD path at GLOBAL level — a per-shard in-kernel migration
-    # would only exchange within each device's groups, changing the
-    # reference semantics (migration.jl:31-35 draws from ALL groups)
-    # min-mode optimization can carry +inf weights (evaluate_fun!'s
-    # out-of-bounds score), which the in-kernel migration's one-hot
-    # weight transport cannot represent (its flag column covers -inf
-    # only) — keep migration on the XLA path there
+    # migration stays on the XLA path when: (a) under a mesh — it is the
+    # only cross-group op and must run at GLOBAL level (migration.jl:31-35
+    # draws from ALL groups; a per-shard in-kernel version would only
+    # exchange within each device's groups); (b) min-mode optimization —
+    # +inf weights (evaluate_fun!'s out-of-bounds score) don't fit the
+    # in-kernel one-hot weight transport, whose flag column covers -inf
+    # only; (c) G beyond the [G, G] routing-matrix budget
     mig_ik = (mesh is None and 0.0 < alpha and not de.is_minimize
               and 2 <= G <= fused_mod.MIG_MAX_G)
 
