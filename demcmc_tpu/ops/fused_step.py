@@ -152,24 +152,18 @@ def local_de(de, n_dev: int):
 def sharded_supported(model, de, spec, mesh) -> bool:
     """Can this configuration run the fused kernel under ``shard_map``
     on ``mesh``?  Requires a 1-axis mesh whose device count divides the
-    packed chain layout so each shard is itself a valid fused layout
-    (``Gr % D == 0``: every sublane row's group blocks split evenly on
-    the lane axis), ≥ 2 groups per device (the in-kernel α-gate draw
-    needs a real local population), and :func:`supported` on the
+    packed chain layout so each shard is itself a valid fused layout:
+    ``Gr % D == 0`` (every sublane row's ``Gr = C/(8·Np)`` group blocks
+    split evenly on the lane axis) — which implies ≥ 8 groups per device
+    (8 sublane rows × ≥ 1 group per row) — plus :func:`supported` on the
     per-device configuration."""
     if mesh is None or len(mesh.axis_names) != 1:
         return False
     n_dev = int(mesh.devices.size)
     if n_dev == 1:
         return supported(model, de, spec)
-    G, Np = de.n_groups, de.Np
-    C = G * Np
-    if G % n_dev or G // n_dev < 2:
-        return False
-    if C % _R or (C // _R) % n_dev or (C // _R // n_dev) % Np:
-        return False
-    # groups-per-row must split evenly across devices on the lane axis
-    if (C // _R // Np) % n_dev:
+    C = de.n_groups * de.Np
+    if C % (_R * de.Np) or (C // (_R * de.Np)) % n_dev:
         return False
     return supported(model, local_de(de, n_dev), spec)
 

@@ -137,7 +137,10 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec,
         # the frozen content key, NOT the DE object: distinct-but-equal DE
         # configs with ndarray blocks would hash equal but make the dict's
         # __eq__ fallback raise the ambiguous-array ValueError
-        cache_key = (de._static_key(), _spec_key(spec), allow_fused, mesh)
+        # super_k() in the key: a DEMCMC_SUPER_K change between runs must
+        # rebuild the step (get_superstep memoizes its kernel)
+        cache_key = (de._static_key(), _spec_key(spec), allow_fused, mesh,
+                     fused_mod.super_k() if allow_fused else 0)
         hash(cache_key)
     except TypeError:
         cache, cache_key = None, None
@@ -238,7 +241,26 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
         kern = fused_mod.build_fused_step(
             model, fused_mod.local_de(de, int(mesh.devices.size)), spec,
             K=K, mig_in_kernel=False)
-        return _shard_wrap(kern, mesh)
+        wrapped = _shard_wrap(kern, mesh)
+        # build_fused_step only lowers the BARE local kernel; errors
+        # specific to partitioning the manual Pallas region under
+        # shard_map would otherwise surface inside run_scan's first jit
+        # with no XLA fallback.  Check the composition here so
+        # build_step's try/except can fall back: a full compile() on a
+        # real backend (partitioning runs at compile time; one-time cost,
+        # cached on the model), trace-only eval_shape on the CPU harness
+        # (interpret-mode compiles take ~1 min and the tests execute the
+        # real thing anyway).
+        shapes = (jax.ShapeDtypeStruct((d, R, Cf), jnp.float32),
+                  jax.ShapeDtypeStruct((R, Cf), jnp.float32),
+                  jax.ShapeDtypeStruct((2,), jnp.uint32),
+                  jax.ShapeDtypeStruct((), jnp.int32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.int32))
+        if jax.default_backend() == "tpu":
+            jax.jit(wrapped).lower(*shapes).compile()
+        else:
+            jax.eval_shape(wrapped, *shapes)
+        return wrapped
 
     try:
         k1 = _mk(1, mig_ik)

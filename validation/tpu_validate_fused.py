@@ -86,24 +86,27 @@ def main():
     sup = step.get_superstep()
     assert sup is not None, "superstep unavailable"
 
-    # bitwise: 16 iterations via 2 supersteps vs 16 single steps
+    # bitwise: 2·K iterations via 2 supersteps vs 2·K single steps
+    # (K = step.superstep_k — honors a DEMCMC_SUPER_K override)
+    sup_k = step.superstep_k
     s_a = st
     for _ in range(2):
         s_a, _ = jax.jit(sup)(s_a)
     s_b = st
     one = jax.jit(step)
-    for _ in range(16):
+    for _ in range(2 * sup_k):
         s_b, _ = one(s_b)
     eq = (np.array_equal(np.asarray(s_a.theta), np.asarray(s_b.theta))
           and np.array_equal(np.asarray(s_a.weight),
                              np.asarray(s_b.weight))
           and np.array_equal(np.asarray(s_a.fire), np.asarray(s_b.fire)))
-    print("superstep bitwise == 16 singles on chip:", eq, flush=True)
+    print(f"superstep bitwise == {2 * sup_k} singles on chip:", eq,
+          flush=True)
 
     p1 = slope(step, st, "gaussian K=1 (in-kernel mig)")
-    p8 = slope(sup, st, "gaussian K=8 superstep (per launch)")
+    p8 = slope(sup, st, f"gaussian K={sup_k} superstep (per launch)")
     print(f"  -> gaussian per ITERATION: K=1 {p1:.3f} us, "
-          f"K=8 {p8 / 8:.3f} us", flush=True)
+          f"K={sup_k} {p8 / sup_k:.3f} us", flush=True)
 
     # ---- 4. statistical sanity on chip ------------------------------
     chains = dt.sample(model, de, 3000, key=11)
@@ -126,9 +129,10 @@ def main():
     stl = fl.to_fused(sl)
     supl = fl.get_superstep()
     assert supl is not None
-    pl8 = slope(supl, stl, "LBA K=8 superstep (per launch)",
+    kl = fl.superstep_k
+    pl8 = slope(supl, stl, f"LBA K={kl} superstep (per launch)",
                 l1=500, l2=2500)
-    print(f"  -> LBA per ITERATION: {pl8 / 8:.3f} us", flush=True)
+    print(f"  -> LBA per ITERATION: {pl8 / kl:.3f} us", flush=True)
 
 
 if __name__ == "__main__":
