@@ -108,8 +108,12 @@ def supported(model, de, spec) -> bool:
         return False
     if de.sample not in (proposal_ops.sample_current, "sample"):
         return False
-    if de.uses_resample or de.blocks is not None:
+    if de.uses_resample:
         return False              # snooker IS supported (in-kernel branch)
+    if de.blocks is not None and _blocking_const(de) is None:
+        return False              # dynamic blocking_on gating: XLA cond
+        # (constant-True blocking runs the block sweeps IN-kernel;
+        # constant-False means the blocks never apply — plain sweep)
     if de.is_mh:
         if de.evaluate_fitness not in ("posterior",
                                        accept_ops.compute_posterior):
@@ -139,6 +143,18 @@ def supported(model, de, spec) -> bool:
     if de.Np < 3 or de.Np > 64:        # need 2 distinct non-self partners;
         return False                   # roll dictionary is 2·Np-1 copies
     return True
+
+
+def _blocking_const(de):
+    """True/False when ``blocking_on`` is one of the constant slot
+    functions (the reference's common case), None for a custom (dynamic)
+    callable — which needs the XLA step's ``lax.cond``."""
+    from ..config import _always_blocking_on, _default_blocking_on
+    if de.blocking_on is _always_blocking_on:
+        return True
+    if de.blocking_on is _default_blocking_on:
+        return False
+    return None
 
 
 def local_de(de, n_dev: int):
@@ -455,6 +471,16 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         mode = "min"
     else:
         mode = "max"
+    # block updating (block_update!, main.jl:174-179): STATIC flat [d]
+    # bool masks, one full sweep per block per iteration; None when
+    # blocking is off (blocks set but constant-False blocking_on means
+    # the blocks are never applied — matching the XLA step)
+    blocks_flat = None
+    if de.blocks is not None and _blocking_const(de) is True:
+        from ..sampler import flatten_block
+        blocks_flat = [np.asarray(flatten_block(spec, b), bool)
+                       for b in de.blocks]
+    n_sweeps = len(blocks_flat) if blocks_flat is not None else 1
     gp = de.generate_proposal
     is_random_gamma = gp in (proposal_ops.random_gamma, "random_gamma")
     if gp in (proposal_ops.fixed_gamma, "fixed_gamma"):
@@ -769,18 +795,19 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     n_words = 0
     if mig_in_kernel:
         n_words += 3                                  # ranks, N, gumbel
-    n_words += 2                                      # partner draws
+    per_sweep = 2                                     # partner draws
     if is_random_gamma:
-        n_words += 3                                  # u_base, g1, g2
+        per_sweep += 3                                # u_base, g1, g2
     if theta_s > 0.0:
-        n_words += 5                                  # z/m/n, γ, gate
+        per_sweep += 5                                # z/m/n, γ, gate
     if eps > 0.0:
-        n_words += d
+        per_sweep += d
     if kappa < 1.0:
-        n_words += d
+        per_sweep += d
     if beta > 0.0:
-        n_words += 1 + 2 * d                          # gate + Box-Muller
-    n_words += 1                                      # accept
+        per_sweep += 1 + 2 * d                        # gate + Box-Muller
+    per_sweep += 1                                    # accept
+    n_words += per_sweep * n_sweeps                   # one sweep per block
     n_words += 1                                      # fire look-ahead
 
     tiny = np.float32(np.finfo(np.float32).tiny)
@@ -883,154 +910,189 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     theta_sc[i] = nt[i]
                 w_sc[:] = nw
 
+        def one_sweep(theta, w, bkeep):
+            """One mutate-or-crossover sweep over the population
+            (``crossover.jl:12-99``).  ``bkeep`` is a STATIC [d] bool
+            block mask (or None): non-block dims of the proposal revert
+            to current values before the snooker MH correction —
+            ``reset!`` semantics (``crossover.jl:84-87,336-352``); the
+            β-mutation branch ignores the mask (``main.jl:199-207``)."""
+            # ---- partner indices: 2 distinct non-self draws (shift
+            # trick, crossover.jl:138-140 semantics) ----------------------
+            m = Np - 1
+            a = randint(1, m)
+            b = randint(1, m - 1)
+            b = b + (b >= a)
+            a = a + (a >= p)
+            b = b + (b >= p)
+
+            rolls = _roll_dict(theta, Np)
+            pm = _seg_gather(rolls, a, p, Np)      # [d, R, Cf]
+            pn = _seg_gather(rolls, b, p, Np)
+
+            return _sweep_tail(theta, w, bkeep, rolls, pm, pn)
+
+        def _sweep_tail(theta, w, bkeep, rolls, pm, pn):
+            if is_random_gamma:
+                u_b = uni(1)
+                g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
+                g2 = uni(1) * np.float32(0.5) + np.float32(0.5)
+
+                # ---- base select ∝ softmax(weight) over the group
+                # (crossover.jl:282-289) via segmented inverse-CDF; γ₂ = 0
+                # EXACTLY once it > burnin (crossover.jl:164), so the whole
+                # softmax stack is gated off in-kernel — same cost as the old
+                # dedicated post-burnin kernel, without an XLA-level branch
+                @pl.when(it <= burnin)
+                def _():
+                    # min mode can carry +inf weights (out-of-bounds scores
+                    # +inf); clamp for the CDF so exp(w - mx) stays finite
+                    # while preserving select_base's larger-w preference
+                    w_bs = (jnp.minimum(w, np.float32(3.0e38))
+                            if mode == "min" else w)
+                    mx = _seg_last_bcast(_seg_scan(w_bs, p, Np, jnp.maximum),
+                                         p, Np)
+                    e = jnp.exp(w_bs - jnp.where(jnp.isfinite(mx), mx,
+                                                 jnp.zeros_like(mx)))
+                    q = _seg_scan(e, p, Np, jnp.add)   # [G, Np] group CDF
+                    tot = _seg_last_bcast(q, p, Np)
+                    u_bs = jnp.maximum(u_b, tiny) * tot
+                    # count of group members with cdf < u — enumerate members
+                    # via the roll dictionary of q
+                    q_rolls = _roll_dict(q, Np)
+                    cnt = jnp.zeros((R, Cf), jnp.int32)
+                    for o in range(Np):
+                        lo, hi = q_rolls[o]
+                        member = jnp.where(p + o < Np, lo, hi)
+                        cnt = cnt + (member < u_bs).astype(jnp.int32)
+                    bidx = jnp.minimum(cnt, Np - 1)
+                    base = _seg_gather(rolls, bidx, p, Np)
+                    bterm_sc[:] = g2 * (base - theta)
+
+                @pl.when(it > burnin)
+                def _():
+                    bterm_sc[:] = jnp.zeros((d, R, Cf), dt)
+
+                prop = theta + g1 * (pm - pn) + bterm_sc[:]
+            else:
+                prop = theta + np.float32(fixed_g1) * (pm - pn)
+
+            log_adj = None
+            if theta_s > 0.0:
+                # ---- snooker branch, mixed per chain with prob θsnooker
+                # (crossover.jl:239-257 + the (d−1)-log-norm MH correction
+                # of crossover.jl:268-273).  3 distinct draws INCLUDING self.
+                az = randint(1, Np)
+                bz = randint(1, Np - 1)
+                cz = randint(1, Np - 2)
+                bz = bz + (bz >= az)
+                lo_i = jnp.minimum(az, bz)
+                hi_i = jnp.maximum(az, bz)
+                cz = cz + (cz >= lo_i)
+                cz = cz + (cz >= hi_i)
+                pz = _seg_gather(rolls, az, p, Np)
+                pm2 = _seg_gather(rolls, bz, p, Np)
+                pn2 = _seg_gather(rolls, cz, p, Np)
+                pd = theta - pz                         # [d, R, Cf]
+                den0 = jnp.sum(pd * pd, axis=0)         # ‖θ−z‖², [R, Cf]
+                degen = den0 <= tiny
+                safe_pd = jnp.where(degen, np.float32(1.0), pd)
+                dens = jnp.sum(safe_pd * safe_pd, axis=0)
+                r1 = (jnp.sum(pm2 * safe_pd, axis=0) / dens) * safe_pd
+                r2 = (jnp.sum(pn2 * safe_pd, axis=0) / dens) * safe_pd
+                gsn = uni(1) + np.float32(1.2)          # γ ~ U(1.2, 2.2)
+                sn_gate = uni(1) <= np.float32(theta_s)
+                prop = jnp.where(sn_gate, theta + gsn * (r1 - r2), prop)
+
+            if eps > 0.0:
+                prop = prop + (uni(d) * np.float32(2 * eps)
+                               - np.float32(eps))
+            if kappa < 1.0:                            # recombination
+                keep = uni(d) > np.float32(1.0 - kappa)
+                prop = jnp.where(keep, prop, theta)
+
+            if bkeep is not None:
+                # reset! semantics (crossover.jl:336-352): non-block dims
+                # revert to current values, BEFORE the snooker MH
+                # correction (crossover.jl:84-87).  The mask is static —
+                # iota-compare selects per retained dim (no captured
+                # array constants, Mosaic-safe construct classes).
+                dimI = jax.lax.broadcasted_iota(jnp.int32, (d, R, Cf), 0)
+                bm = None
+                for i in range(d):
+                    if bkeep[i]:
+                        t = dimI == i
+                        bm = t if bm is None else bm | t
+                prop = theta if bm is None else jnp.where(bm, prop, theta)
+
+            if theta_s > 0.0:
+                # degenerate z == θ draws propose θ exactly (explicit reject
+                # via -inf adj, replacing the reference's accidental-NaN
+                # reject); correction computed on the FINAL proposal like
+                # crossover.jl:84-87, as 0.5(d−1)(log‖θ'−z‖² − log‖θ−z‖²)
+                prop = jnp.where(sn_gate & degen, theta, prop)
+                a1sq = jnp.sum((prop - pz) * (prop - pz), axis=0)
+                adj = (np.float32(0.5 * (d - 1))
+                       * (jnp.log(a1sq) - jnp.log(den0)))
+                adj = jnp.where(degen, -jnp.inf, adj)
+                log_adj = jnp.where(sn_gate, adj, np.float32(0.0))
+
+            if beta > 0.0:                             # β-mutation per group
+                gate = uni(1)
+                gate = _seg_leader_bcast(gate, p, Np)  # one draw per group
+                u1 = jnp.maximum(uni(d), tiny)
+                u2 = uni(d)
+                nrm = jnp.sqrt(np.float32(-2.0) * jnp.log(u1)) \
+                    * jnp.cos(np.float32(2.0 * np.pi) * u2)
+                mut = gate <= np.float32(beta)
+                prop = jnp.where(mut, theta + np.float32(sigma) * nrm, prop)
+                if log_adj is not None:                # mutation: no snooker
+                    log_adj = jnp.where(mut, np.float32(0.0), log_adj)
+
+            # ---- fitness: bounds + user log posterior (utilities.jl:92-99) ---
+            # per-dimension scalar-literal bounds (array bounds would be
+            # captured constants, which Pallas rejects); ±inf rows skipped
+            inb = jnp.ones((R, Cf), bool)
+            for i in range(d):
+                row = prop[i]                          # [R, Cf]
+                if np.isfinite(lo_b[i, 0]):
+                    inb = inb & (row >= np.float32(lo_b[i, 0]))
+                if np.isfinite(hi_b[i, 0]):
+                    inb = inb & (row <= np.float32(hi_b[i, 0]))
+            lp = lp_conv(prop, ship_vals)              # [R, Cf]
+            bad = inf32 if mode == "min" else -inf32   # evaluate_fun!'s ∓inf
+            w_prop = jnp.where(inb & ~jnp.isnan(lp), lp, bad)
+
+            # ---- accept: MH in log space (utilities.jl:201-210) or greedy
+            # (maximize!/minimize!, utilities.jl:212-226; log_adj ignored).
+            # The u draw is unconditional so the stream layout is static
+            # across modes.
+            u = jnp.maximum(uni(1), tiny)
+            if mode == "mh":
+                delta = w_prop - w
+                if log_adj is not None:
+                    delta = delta + log_adj
+                acc = jnp.log(u) <= delta
+            elif mode == "max":
+                acc = w_prop > w
+            else:
+                acc = w_prop < w
+            new_t = jnp.where(acc, prop, theta)
+            new_w = jnp.where(acc, w_prop, w)
+            return new_t, new_w, acc
+
         theta = theta_sc[:]                        # [d, R, Cf]
         w = w_sc[:]                                # [R, Cf]
-
-        # ---- partner indices: 2 distinct non-self draws (shift trick,
-        # crossover.jl:138-140 semantics) ---------------------------------
-        m = Np - 1
-        a = randint(1, m)
-        b = randint(1, m - 1)
-        b = b + (b >= a)
-        a = a + (a >= p)
-        b = b + (b >= p)
-
-        rolls = _roll_dict(theta, Np)
-        pm = _seg_gather(rolls, a, p, Np)          # [d, R, Cf]
-        pn = _seg_gather(rolls, b, p, Np)
-
-        if is_random_gamma:
-            u_b = uni(1)
-            g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
-            g2 = uni(1) * np.float32(0.5) + np.float32(0.5)
-
-            # ---- base select ∝ softmax(weight) over the group
-            # (crossover.jl:282-289) via segmented inverse-CDF; γ₂ = 0
-            # EXACTLY once it > burnin (crossover.jl:164), so the whole
-            # softmax stack is gated off in-kernel — same cost as the old
-            # dedicated post-burnin kernel, without an XLA-level branch
-            @pl.when(it <= burnin)
-            def _():
-                # min mode can carry +inf weights (out-of-bounds scores
-                # +inf); clamp for the CDF so exp(w - mx) stays finite
-                # while preserving select_base's larger-w preference
-                w_bs = (jnp.minimum(w, np.float32(3.0e38))
-                        if mode == "min" else w)
-                mx = _seg_last_bcast(_seg_scan(w_bs, p, Np, jnp.maximum),
-                                     p, Np)
-                e = jnp.exp(w_bs - jnp.where(jnp.isfinite(mx), mx,
-                                             jnp.zeros_like(mx)))
-                q = _seg_scan(e, p, Np, jnp.add)   # [G, Np] group CDF
-                tot = _seg_last_bcast(q, p, Np)
-                u_bs = jnp.maximum(u_b, tiny) * tot
-                # count of group members with cdf < u — enumerate members
-                # via the roll dictionary of q
-                q_rolls = _roll_dict(q, Np)
-                cnt = jnp.zeros((R, Cf), jnp.int32)
-                for o in range(Np):
-                    lo, hi = q_rolls[o]
-                    member = jnp.where(p + o < Np, lo, hi)
-                    cnt = cnt + (member < u_bs).astype(jnp.int32)
-                bidx = jnp.minimum(cnt, Np - 1)
-                base = _seg_gather(rolls, bidx, p, Np)
-                bterm_sc[:] = g2 * (base - theta)
-
-            @pl.when(it > burnin)
-            def _():
-                bterm_sc[:] = jnp.zeros((d, R, Cf), dt)
-
-            prop = theta + g1 * (pm - pn) + bterm_sc[:]
+        if blocks_flat is None:
+            new_t, new_w, acc = one_sweep(theta, w, None)
         else:
-            prop = theta + np.float32(fixed_g1) * (pm - pn)
-
-        log_adj = None
-        if theta_s > 0.0:
-            # ---- snooker branch, mixed per chain with prob θsnooker
-            # (crossover.jl:239-257 + the (d−1)-log-norm MH correction
-            # of crossover.jl:268-273).  3 distinct draws INCLUDING self.
-            az = randint(1, Np)
-            bz = randint(1, Np - 1)
-            cz = randint(1, Np - 2)
-            bz = bz + (bz >= az)
-            lo_i = jnp.minimum(az, bz)
-            hi_i = jnp.maximum(az, bz)
-            cz = cz + (cz >= lo_i)
-            cz = cz + (cz >= hi_i)
-            pz = _seg_gather(rolls, az, p, Np)
-            pm2 = _seg_gather(rolls, bz, p, Np)
-            pn2 = _seg_gather(rolls, cz, p, Np)
-            pd = theta - pz                         # [d, R, Cf]
-            den0 = jnp.sum(pd * pd, axis=0)         # ‖θ−z‖², [R, Cf]
-            degen = den0 <= tiny
-            safe_pd = jnp.where(degen, np.float32(1.0), pd)
-            dens = jnp.sum(safe_pd * safe_pd, axis=0)
-            r1 = (jnp.sum(pm2 * safe_pd, axis=0) / dens) * safe_pd
-            r2 = (jnp.sum(pn2 * safe_pd, axis=0) / dens) * safe_pd
-            gsn = uni(1) + np.float32(1.2)          # γ ~ U(1.2, 2.2)
-            sn_gate = uni(1) <= np.float32(theta_s)
-            prop = jnp.where(sn_gate, theta + gsn * (r1 - r2), prop)
-
-        if eps > 0.0:
-            prop = prop + (uni(d) * np.float32(2 * eps)
-                           - np.float32(eps))
-        if kappa < 1.0:                            # recombination
-            keep = uni(d) > np.float32(1.0 - kappa)
-            prop = jnp.where(keep, prop, theta)
-
-        if theta_s > 0.0:
-            # degenerate z == θ draws propose θ exactly (explicit reject
-            # via -inf adj, replacing the reference's accidental-NaN
-            # reject); correction computed on the FINAL proposal like
-            # crossover.jl:84-87, as 0.5(d−1)(log‖θ'−z‖² − log‖θ−z‖²)
-            prop = jnp.where(sn_gate & degen, theta, prop)
-            a1sq = jnp.sum((prop - pz) * (prop - pz), axis=0)
-            adj = (np.float32(0.5 * (d - 1))
-                   * (jnp.log(a1sq) - jnp.log(den0)))
-            adj = jnp.where(degen, -jnp.inf, adj)
-            log_adj = jnp.where(sn_gate, adj, np.float32(0.0))
-
-        if beta > 0.0:                             # β-mutation per group
-            gate = uni(1)
-            gate = _seg_leader_bcast(gate, p, Np)  # one draw per group
-            u1 = jnp.maximum(uni(d), tiny)
-            u2 = uni(d)
-            nrm = jnp.sqrt(np.float32(-2.0) * jnp.log(u1)) \
-                * jnp.cos(np.float32(2.0 * np.pi) * u2)
-            mut = gate <= np.float32(beta)
-            prop = jnp.where(mut, theta + np.float32(sigma) * nrm, prop)
-            if log_adj is not None:                # mutation: no snooker
-                log_adj = jnp.where(mut, np.float32(0.0), log_adj)
-
-        # ---- fitness: bounds + user log posterior (utilities.jl:92-99) ---
-        # per-dimension scalar-literal bounds (array bounds would be
-        # captured constants, which Pallas rejects); ±inf rows skipped
-        inb = jnp.ones((R, Cf), bool)
-        for i in range(d):
-            row = prop[i]                          # [R, Cf]
-            if np.isfinite(lo_b[i, 0]):
-                inb = inb & (row >= np.float32(lo_b[i, 0]))
-            if np.isfinite(hi_b[i, 0]):
-                inb = inb & (row <= np.float32(hi_b[i, 0]))
-        lp = lp_conv(prop, ship_vals)              # [R, Cf]
-        bad = inf32 if mode == "min" else -inf32   # evaluate_fun!'s ∓inf
-        w_prop = jnp.where(inb & ~jnp.isnan(lp), lp, bad)
-
-        # ---- accept: MH in log space (utilities.jl:201-210) or greedy
-        # (maximize!/minimize!, utilities.jl:212-226; log_adj ignored).
-        # The u draw is unconditional so the stream layout is static
-        # across modes.
-        u = jnp.maximum(uni(1), tiny)
-        if mode == "mh":
-            delta = w_prop - w
-            if log_adj is not None:
-                delta = delta + log_adj
-            acc = jnp.log(u) <= delta
-        elif mode == "max":
-            acc = w_prop > w
-        else:
-            acc = w_prop < w
-        new_t = jnp.where(acc, prop, theta)
-        new_w = jnp.where(acc, w_prop, w)
+            # block_update! (main.jl:174-179): one full sweep per block,
+            # later blocks see earlier blocks' accepts; accept/lp of the
+            # LAST block are what gets recorded (utilities.jl:201-210
+            # overwrites once per block)
+            for bkeep in blocks_flat:
+                new_t, new_w, acc = one_sweep(theta, w, bkeep)
+                theta, w = new_t, new_w
         theta_sc[:] = new_t
         w_sc[:] = new_w
         out_t_ref[0] = new_t

@@ -55,11 +55,14 @@ def test_supported_predicate(interpret):
     # snooker MIXING (theta_snooker > 0) is supported in-kernel
     ms, ds = _make(theta_snooker=0.1)
     assert fused_step.supported(ms, ds, make_spec(ms, ds))
+    # constant-True blocking runs the block sweeps in-kernel
+    mb, db = _make(blocking_on=True, blocks=[[True, False], [False, True]])
+    assert fused_step.supported(mb, db, make_spec(mb, db))
     # each exclusion individually
     for bad in (dict(generate_proposal="snooker"),
                 dict(sample="resample"),
-                dict(blocking_on=True,
-                     blocks=[[True, False], [False, True]]),
+                dict(blocking_on=lambda de: de.iteration % 2 == 0,
+                     blocks=[[True, False], [False, True]]),  # dynamic
                 dict(Np=2),                      # < 3 partners impossible
                 dict(Np=5, n_groups=25),         # C % 128 != 0
                 dict(dtype=np.float64)):
@@ -303,6 +306,49 @@ def test_superstep_bitwise_equals_single_steps(interpret):
     c2 = sample(model, de, 320, key=5)
     assert np.array_equal(c1.data, c2.data)
     assert np.array_equal(c1.acceptance, c2.acceptance)
+
+
+def test_fused_blocked_untouched_dims_frozen(interpret):
+    """A single block covering only mu (beta=0, eps inside the block
+    machinery still applies to mu) must leave sigma EXACTLY at its
+    initial per-chain value — the reset! mask reverts non-block dims
+    every iteration (crossover.jl:336-352)."""
+    from demcmc_tpu.sampler import init_state
+
+    model, de = _make(blocking_on=True, blocks=[[True, False]],
+                      beta=0.0, alpha=0.0,    # mutation AND migration off:
+                      burnin=10,              # both legitimately move
+                      discard_burnin=False)   # whole particles across dims
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    state0 = init_state(model, de, spec, key=4)
+    sigma0 = np.asarray(state0.theta)[:, :, 1].reshape(-1)   # [C]
+    c = sample(model, de, 60, key=4)
+    i_mu, i_sig = c.names.index("mu"), c.names.index("sigma")
+    sig = c.data[:, i_sig, :]                                # [Ns, C]
+    # every stored draw of sigma equals the initial population value
+    assert np.array_equal(sig, np.broadcast_to(sigma0, sig.shape))
+    # while mu actually moved
+    mu = c.data[:, i_mu, :]
+    assert not np.array_equal(mu[0], mu[-1])
+
+
+@pytest.mark.slow
+def test_fused_blocked_posterior_matches_oracle(interpret):
+    """Blocked fused sampling (2 identity blocks, the reference's
+    blocking_tests.jl:47-75 shape) recovers the Gaussian posterior."""
+    from demcmc_tpu.models import gaussian as gmod
+
+    model, de = _make(blocking_on=True,
+                      blocks=[[True, False], [False, True]],
+                      burnin=500)
+    c = sample(model, de, 2500, key=13)
+    ref = gmod.posterior_grid(np.asarray(model.data, np.float64))
+    assert abs(c.mean("mu") - ref["mu"]["mean"]) < 0.03
+    assert abs(c.mean("sigma") - ref["sigma"]["mean"]) < 0.03
+    assert abs(c.std("mu") - ref["mu"]["std"]) < 0.02
+    assert abs(c.std("sigma") - ref["sigma"]["std"]) < 0.02
 
 
 def test_fused_optimize_rastrigin_min(interpret):
