@@ -48,21 +48,49 @@ def mig_bitexact():
     print("in-kernel migration BITEXACT on chip", flush=True)
 
 
+def blocked_fused_check():
+    """On-chip sanity of the in-kernel block sweeps (new this session):
+    blocked Gaussian posterior vs the quadrature oracle."""
+    import numpy as np
+    from demcmc_tpu import sample
+    from demcmc_tpu.models import gaussian
+    from demcmc_tpu.sampler import build_step, make_spec
+
+    data = np.asarray(np.random.default_rng(3).normal(0, 1, 50),
+                      np.float32)
+    model, de = gaussian.make(data=data, Np=4, n_groups=32, burnin=500,
+                              blocking_on=True,
+                              blocks=[[True, False], [False, True]])
+    step = build_step(model, de, make_spec(model, de))
+    assert getattr(step, "fused", False), "blocked config not fused"
+    c = sample(model, de, 3000, key=13)
+    ref = gaussian.posterior_grid(np.asarray(data, np.float64))
+    dm = abs(c.mean("mu") - ref["mu"]["mean"])
+    ds = abs(c.mean("sigma") - ref["sigma"]["mean"])
+    print(f"blocked fused on chip: dmu {dm:.4f} dsigma {ds:.4f} "
+          f"(tol 0.03)", flush=True)
+    assert dm < 0.03 and ds < 0.03
+
+
 def main():
     print("backend:", jax.default_backend(), "devices:", jax.devices(),
           flush=True)
+
+    # bench FIRST: it is the round artifact — if the grant dies
+    # mid-batch the headline refresh must already be on disk
+    sys.path.insert(0, "/root/repo")
+    import bench
+    run_guarded("bench.py headline", bench.main)
+
+    run_guarded("in-kernel migration bitexact", mig_bitexact)
+
+    run_guarded("blocked fused sweep on chip", blocked_fused_check)
 
     import ksuper_bench
     run_guarded("K-superstep scan", ksuper_bench.main)
 
     import mig_gate_bench
     run_guarded("migration gate cond-vs-branchless", mig_gate_bench.main)
-
-    run_guarded("in-kernel migration bitexact", mig_bitexact)
-
-    sys.path.insert(0, "/root/repo")
-    import bench
-    run_guarded("bench.py headline", bench.main)
 
 
 if __name__ == "__main__":
