@@ -115,6 +115,14 @@ class Chains:
         return np.array([diagnostics.ess_bulk(self.data[:, i, :])
                          for i in range(self.n_params)])
 
+    def ess_tail(self, name: Optional[str] = None):
+        """Tail ESS (Stan/ArviZ ``ess_tail``): chain resolution at the
+        5%/95% quantiles — bulk ESS can overstate it for sticky tails."""
+        if name is not None:
+            return diagnostics.ess_tail(self[name])
+        return np.array([diagnostics.ess_tail(self.data[:, i, :])
+                         for i in range(self.n_params)])
+
     def describe(self) -> dict:
         return {n: diagnostics.summary_stats(self.data[:, i, :])
                 for i, n in enumerate(self.names)}
