@@ -86,6 +86,51 @@ def sbc_snooker_resample(M=32, d=3, n_obs=20):
     return np.asarray(ranks)
 
 
+def sbc_blocked(M=32, d=2, n_obs=20):
+    """SBC of the block-updating path (``block_update!`` + ``reset!``):
+    every iteration updates each coordinate in its own full sweep
+    (blocks = identity masks).  Any masking bug — stale non-block dims,
+    reset applied after instead of before the snooker MH correction
+    (crossover.jl:84-87), per-block draw reuse — shows up as rank
+    non-uniformity.  theta_snooker > 0 stresses the reset/adjustment
+    ordering specifically."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    mu_true = rng.normal(0.0, 1.0, size=(M, d))
+    datasets = jnp.asarray(
+        rng.normal(mu_true[:, None, :], 1.0, size=(M, n_obs, d)),
+        jnp.float32)
+
+    def loglike(data, mu):
+        return -0.5 * jnp.sum((data - mu) ** 2)
+
+    def prior_loglike(mu):
+        return -0.5 * jnp.sum(mu ** 2)
+
+    def make_model(data):
+        return dm.DEModel(
+            loglike=loglike, prior_loglike=prior_loglike,
+            sample_prior=lambda k: [jax.random.normal(k, (d,))],
+            names=("mu",), data=data)
+
+    blocks = [[np.arange(d) == j] for j in range(d)]
+    de = dm.DE(Np=4, n_groups=4, theta_snooker=0.2, blocking_on=True,
+               blocks=blocks, burnin=400, bounds=((-np.inf, np.inf),))
+    reps = dm.sample_replicated(make_model, de, 1200, datasets,
+                                keys=[2000 + i for i in range(M)])
+    print(f"[sbc-blocked] {M} replications sampled (one vmapped program)")
+    ranks = []
+    for i, chains in enumerate(reps):
+        mu_draws = chains.group("mu")            # [Ns, d, C]
+        for j in range(d):
+            draws = mu_draws[:, j, :].reshape(-1)
+            idx = np.linspace(0, draws.size - 1, L).astype(int)
+            ranks.append(int(np.sum(draws[idx] < mu_true[i, j])))
+    return np.asarray(ranks)
+
+
 def sbc_pseudo_marginal(M=32, n_sim=500):
     """SBC of the pseudo-marginal (fresh-noise ABC) path: the binomial
     hit-frequency estimator is unbiased, so by Andrieu & Roberts (2009)
@@ -218,7 +263,8 @@ def main():
     p2 = _chi2(sbc_snooker_resample(), "snooker+resample")
     p3 = _chi2(sbc_pseudo_marginal(), "pseudo-marginal-abc")
     p4 = _chi2(sbc_discrete(), "discrete-round-and-cast")
-    return min(p, p2, p3, p4)
+    p5 = _chi2(sbc_blocked(), "blocked/reset")
+    return min(p, p2, p3, p4, p5)
 
 
 if __name__ == "__main__":
