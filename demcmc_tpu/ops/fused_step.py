@@ -414,7 +414,7 @@ def build_migration_kernel(G, Np, d, interpret=True):
 
 
 def build_fused_step(model, de, spec, interpret=None, K=1,
-                     mig_in_kernel=False):
+                     mig_in_kernel=False, emit="all"):
     """Returns ``kernel_call(theta3 [d,R,Cf], weight3 [R,Cf], key2 [2]
     uint32, it scalar, fire [1,1] int32) -> (theta_traj [K,d,R,Cf],
     w_traj [K,R,Cf], accept [K,R,Cf] bool, fire_out [1,1])`` — ``K``
@@ -422,6 +422,12 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     layout (R=8 rows, Cf=C/8 lanes; chain c ↔ row c//Cf, lane c%Cf),
     with the population carried across the grid in VMEM scratch.
     Raises on trace failure (caller falls back).
+
+    ``emit='last'`` shrinks the trajectory outputs to ``[1, ...]`` —
+    every grid step writes the same (VMEM-resident) output block, so
+    only the final iteration's values land in HBM.  This is the
+    device-side ``thin``: one launch per STORED draw, K = thin
+    iterations, with per-iteration HBM trajectory traffic eliminated.
 
     The γ₂-burnin phase switch of ``random_gamma`` (crossover.jl:164)
     runs IN-kernel under ``pl.when(it <= burnin)`` — the softmax
@@ -1120,9 +1126,15 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     in_specs = ([smem(), smem(), smem()]           # it0, key, fire_in
                 + ([vfull()] if interpret else [])
                 + [vfull() for _ in ship] + [vfull(), vfull()])
-    out_specs = (pl.BlockSpec((1, d, R, Cf), lambda k: (k, 0, 0, 0)),
-                 pl.BlockSpec((1, R, Cf), lambda k: (k, 0, 0)),
-                 pl.BlockSpec((1, R, Cf), lambda k: (k, 0, 0)),
+    if emit == "all":
+        T_out = K
+        t_idx, w_idx = (lambda k: (k, 0, 0, 0)), (lambda k: (k, 0, 0))
+    else:                # 'last': constant block — final grid step wins
+        T_out = 1
+        t_idx, w_idx = (lambda k: (0, 0, 0, 0)), (lambda k: (0, 0, 0))
+    out_specs = (pl.BlockSpec((1, d, R, Cf), t_idx),
+                 pl.BlockSpec((1, R, Cf), w_idx),
+                 pl.BlockSpec((1, R, Cf), w_idx),
                  smem())
     scratch_shapes = [pltpu.VMEM((d, R, Cf), dt), pltpu.VMEM((R, Cf), dt)]
     if is_random_gamma:
@@ -1131,9 +1143,9 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     call = pl.pallas_call(
         kernel,
         grid=(K,),
-        out_shape=(jax.ShapeDtypeStruct((K, d, R, Cf), dt),
-                   jax.ShapeDtypeStruct((K, R, Cf), dt),
-                   jax.ShapeDtypeStruct((K, R, Cf), bool),
+        out_shape=(jax.ShapeDtypeStruct((T_out, d, R, Cf), dt),
+                   jax.ShapeDtypeStruct((T_out, R, Cf), dt),
+                   jax.ShapeDtypeStruct((T_out, R, Cf), bool),
                    jax.ShapeDtypeStruct((1,), jnp.int32)),
         in_specs=in_specs,
         out_specs=out_specs,

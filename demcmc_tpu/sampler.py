@@ -234,13 +234,14 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     mig_ik = (mesh is None and 0.0 < alpha and not de.is_minimize
               and 2 <= G <= fused_mod.MIG_MAX_G)
 
-    def _mk(K, mig_in_kernel):
+    def _mk(K, mig_in_kernel, emit="all"):
         if mesh is None:
             return fused_mod.build_fused_step(
-                model, de, spec, K=K, mig_in_kernel=mig_in_kernel)
+                model, de, spec, K=K, mig_in_kernel=mig_in_kernel,
+                emit=emit)
         kern = fused_mod.build_fused_step(
             model, fused_mod.local_de(de, int(mesh.devices.size)), spec,
-            K=K, mig_in_kernel=False)
+            K=K, mig_in_kernel=False, emit=emit)
         wrapped = _shard_wrap(kern, mesh)
         # build_fused_step only lowers the BARE local kernel; errors
         # specific to partitioning the manual Pallas region under
@@ -360,6 +361,36 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
 
     step.superstep_k = fused_mod.super_k()
     step.get_superstep = get_superstep
+
+    _thin_cache = {}
+
+    def get_thin_step(thin):
+        """Device-side thinning (or None if unavailable): ONE kernel
+        launch per stored draw — ``thin`` in-kernel iterations with only
+        the last one's trajectory written to HBM (``emit='last'``).
+        Replaces run_scan's thin-inner-scan of single-step launches,
+        which is launch-overhead bound on this path."""
+        if not (mig_ik or alpha == 0.0):
+            return None                  # data-dependent XLA migration
+        if thin not in _thin_cache:
+            try:
+                kt = _mk(thin, mig_ik, emit="last")
+            except Exception:
+                _thin_cache[thin] = None
+            else:
+                def thin_step(state: SamplerState, _=None):
+                    t, wout, acc, fire = _call(kt, state)
+                    new_state = SamplerState(
+                        theta=t[0], weight=wout[0], key=state.key,
+                        iteration=state.iteration + thin,
+                        history=None, fire=fire)
+                    return new_state, StepOutput(theta=t[0],
+                                                 accept=acc[0],
+                                                 lp=wout[0])
+                _thin_cache[thin] = thin_step
+        return _thin_cache[thin]
+
+    step.get_thin_step = get_thin_step
 
     def to_fused(state: SamplerState) -> SamplerState:
         if state.fire is not None:
@@ -663,12 +694,19 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
         if n_iter % thin:
             raise ValueError(f"n_iter ({n_iter}) must be divisible by "
                              f"thin ({thin})")
-        inner = step
+        thin_step = getattr(step, "get_thin_step", lambda t: None)(thin)
+        if thin_step is not None:
+            # fused path: ONE kernel launch per stored draw (thin
+            # in-kernel iterations, emit='last') instead of a
+            # launch-per-iteration inner scan
+            step = thin_step
+        else:
+            inner = step
 
-        def step(s, _=None):
-            s, _ = jax.lax.scan(lambda c, x: (inner(c)[0], None), s, None,
-                                length=thin - 1)
-            return inner(s)
+            def step(s, _=None):
+                s, _ = jax.lax.scan(lambda c, x: (inner(c)[0], None), s,
+                                    None, length=thin - 1)
+                return inner(s)
 
         n_iter = n_iter // thin
 

@@ -406,6 +406,24 @@ def test_fused_optimize_gaussian_mle_max(interpret):
     assert abs(float(theta["sigma"]) - F32_DATA.std()) < 5e-3
 
 
+def test_thin_superstep_bitwise_equals_inner_scan(interpret):
+    """thin > 1 on the fused path takes ONE emit='last' kernel launch
+    per stored draw; chains must equal the launch-per-iteration inner
+    scan bitwise (same per-iteration PRNG seeding, last-iteration
+    trajectory values)."""
+    model, de = _make(burnin=100, alpha=0.3, discard_burnin=False)
+    c1 = sample(model, de, 320, key=5, thin=4)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert step.get_thin_step(4) is not None
+    step.get_thin_step = lambda t: None     # force the inner-scan path
+    step._scan_jit_cache.clear()
+    c2 = sample(model, de, 320, key=5, thin=4)
+    assert np.array_equal(c1.data, c2.data)
+    assert np.array_equal(c1.acceptance, c2.acceptance)
+    assert np.array_equal(c1.lp, c2.lp)
+
+
 def test_superstep_k_env_override_bitwise(interpret, monkeypatch):
     """DEMCMC_SUPER_K=16 (the on-chip K-scan knob) must stay bitwise
     identical to the default K=8 supersteps — any K is just a different
