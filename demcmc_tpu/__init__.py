@@ -34,7 +34,7 @@ from .optimize import (Population, get_optimal, optimize,
                        optimize_replicated)
 from .particle import Particle
 from .sampler import (SamplerState, init_state, make_spec, sample,
-                      sample_replicated)
+                      sample_replicated, sample_replicated_packed)
 from .utils.checkpoint import load_state, save_state
 from .utils.pytree import as_union
 
@@ -47,7 +47,8 @@ DEMCMC = _sys.modules[__name__]
 __all__ = [
     "DE", "DEModel", "MCMCThreads", "Chains", "ParamSpec", "Particle",
     "Population",
-    "SamplerState", "sample", "sample_replicated", "optimize",
+    "SamplerState", "sample", "sample_replicated",
+    "sample_replicated_packed", "optimize",
     "optimize_replicated",
     "get_optimal", "init_state",
     "make_spec", "random_gamma", "fixed_gamma", "variable_gamma", "snooker",

@@ -54,9 +54,15 @@ def loglike_batched(data, mu, sigma):
     # CENTERED statistics (xbar, Σ(x-xbar)²), not (Σx, Σx²): the raw
     # second moment cancels catastrophically in f32 for non-centered data
     # (data ~ N(1000,1): s2 ≈ 5e7 with ulp ≈ 4 vs a true residual ≈ n),
-    # while n·(μ-x̄)² + ss is shift-invariant and exact to f32 precision
-    xbar = float(x.mean(dtype=np.float64))
-    ss = float(((x.astype(np.float64) - xbar) ** 2).sum())
+    # while n·(μ-x̄)² + ss is shift-invariant and exact to f32 precision.
+    # Statistics are taken along axis 0 only, so PACKED data (trailing
+    # chain axes, sample_replicated_packed) folds to per-chain constants.
+    xbar64 = x.astype(np.float64).mean(axis=0)
+    ss = np.asarray(((x.astype(np.float64) - xbar64) ** 2).sum(axis=0),
+                    np.float32)
+    xbar = np.asarray(xbar64, np.float32)
+    if xbar.ndim == 0:
+        xbar, ss = float(xbar), float(ss)    # fold as python scalars
     dm_ = mu - xbar
     return (-0.5 * n * float(np.log(2.0 * np.pi)) - n * jnp.log(sigma)
             - 0.5 * (ss + n * dm_ * dm_) / (sigma * sigma))

@@ -1093,3 +1093,94 @@ def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
                            StepOutput(*(np.asarray(a[r]) for a in ys)),
                            n_iter, thin=thin)
             for r in range(R)]
+
+
+def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
+                             key=0, thin: int = 1):
+    """R independent replications PACKED into one fused-kernel
+    population: replication r's ``n_groups`` groups become groups
+    ``[r·G, (r+1)·G)`` of a single ``R·G``-group run, and each data
+    leaf expands to a per-chain constant (trailing ``[8, C_tot/8]``
+    axes) that the kernel's build-time partial evaluator folds like any
+    other data.  Groups never interact when ``alpha == 0``, so the
+    packed run IS R independent runs — at one-Pallas-kernel-per-
+    iteration speed, where :func:`sample_replicated` vmaps the
+    multi-kernel XLA step.
+
+    Contract beyond :func:`sample_replicated`:
+
+    * ``de.alpha`` must be 0 (migration would exchange particles ACROSS
+      replications);
+    * the packed configuration (``n_groups = R·G``) must be fused-
+      supported, and the model's ``loglike_batched`` must compute any
+      host-side data statistics along axis 0 only, so data leaves with
+      trailing chain axes broadcast (true of the zoo densities);
+    * chains are NOT bitwise-equal to serial ``sample`` runs (all
+      replications draw from one per-chain PRNG stream) — statistically
+      equivalent only.  Initial states DO match the serial runs (same
+      per-replication init keys).
+
+    Returns a list of R :class:`Chains`.
+    """
+    if float(de.alpha) != 0.0:
+        raise ValueError("sample_replicated_packed requires alpha=0 "
+                         "(migration would mix replications); use "
+                         "sample_replicated for alpha > 0")
+    datasets, keys, model0, spec, R = _replicated_setup(
+        make_model, de, datasets, key, None)
+    import dataclasses as _dc
+
+    from .ops import fused_step as fused_mod
+    G, Np, d = de.n_groups, de.Np, spec.dim
+    C_rep = G * Np
+    C_tot = C_rep * R
+    Rrow = fused_mod._R
+    if C_tot % Rrow or (C_tot // Rrow) % Np:
+        raise ValueError(f"packed population C={C_tot} does not fit the "
+                         f"kernel layout (C % 8 == 0, (C/8) % Np == 0)")
+    Cf_tot = C_tot // Rrow
+    de_packed = _dc.replace(de, n_groups=G * R)
+
+    def pack(leaf):
+        a = np.asarray(leaf)                      # [R, *obs]
+        a = np.repeat(a, C_rep, axis=0)           # [C_tot, *obs]
+        a = np.moveaxis(a, 0, -1)                 # [*obs, C_tot]
+        return a.reshape(a.shape[:-1] + (Rrow, Cf_tot))
+
+    packed_data = jax.tree.map(pack, jax.tree.map(np.asarray, datasets))
+    packed_model = _dc.replace(model0, data=packed_data)
+    packed_model.__dict__.pop("_step_cache", None)
+
+    step = build_step(packed_model, de_packed, spec)
+    if not getattr(step, "fused", False):
+        raise ValueError(
+            "configuration is not fused-supported when packed "
+            f"(n_groups={G * R}); use sample_replicated")
+
+    # per-replication init with the replication's OWN data and key —
+    # identical initial states to the serial runs
+    def init_one(data, k):
+        model = make_model(data)
+        s = init_state(model, de, spec, k)
+        return s.theta, s.weight
+
+    th, w = jax.jit(jax.vmap(init_one))(datasets, keys)
+    s0 = init_state(model0, de_packed, spec, rng.ensure_key(key))
+    state = s0._replace(theta=jnp.reshape(th, (G * R, Np, d)),
+                        weight=jnp.reshape(w, (G * R, Np)))
+    state = step.to_fused(state)
+
+    state, ys = run_scan(step, state, n_iter, thin=thin)
+    T = ys.theta.shape[0]
+    theta = np.swapaxes(np.reshape(np.asarray(ys.theta), (T, d, C_tot)),
+                        1, 2)                     # [T, C_tot, d]
+    acc = np.reshape(np.asarray(ys.accept), (T, C_tot))
+    lp = np.reshape(np.asarray(ys.lp), (T, C_tot))
+    out = []
+    for r in range(R):
+        sl = slice(r * C_rep, (r + 1) * C_rep)
+        out.append(bundle_samples(
+            model0, de, spec,
+            StepOutput(theta=theta[:, sl], accept=acc[:, sl],
+                       lp=lp[:, sl]), n_iter, thin=thin))
+    return out

@@ -351,6 +351,41 @@ def test_fused_blocked_posterior_matches_oracle(interpret):
     assert abs(c.std("sigma") - ref["sigma"]["std"]) < 0.02
 
 
+@pytest.mark.slow
+def test_packed_replications_match_oracles(interpret):
+    """sample_replicated_packed: R runs as ONE fused population.  Each
+    replication's posterior must match ITS OWN dataset's quadrature
+    oracle — cross-replication data leakage (wrong chain/data packing)
+    or PRNG coupling would show immediately."""
+    from demcmc_tpu.models import gaussian as gmod
+    from demcmc_tpu.sampler import sample_replicated_packed
+
+    rng_ = np.random.default_rng(9)
+    # well-separated replication means so a packing mixup is unmissable
+    mus = np.array([-3.0, 0.0, 4.0])
+    datasets = np.stack([
+        rng_.normal(m, 1.0, 40).astype(np.float32) for m in mus])
+    de = gmod.DE(bounds=gmod.BOUNDS, Np=4, n_groups=16, burnin=500,
+                 alpha=0.0)
+    reps = sample_replicated_packed(gmod.make_model, de, 2000,
+                                    datasets, key=3)
+    assert len(reps) == 3
+    for r, chains in enumerate(reps):
+        ref = gmod.posterior_grid(np.asarray(datasets[r], np.float64))
+        assert abs(chains.mean("mu") - ref["mu"]["mean"]) < 0.05, r
+        assert abs(chains.mean("sigma") - ref["sigma"]["mean"]) < 0.05, r
+
+
+def test_packed_replications_rejects_alpha(interpret):
+    from demcmc_tpu.models import gaussian as gmod
+    from demcmc_tpu.sampler import sample_replicated_packed
+
+    datasets = np.zeros((2, 8), np.float32)
+    de = gmod.DE(bounds=gmod.BOUNDS, Np=4, n_groups=16, alpha=0.1)
+    with pytest.raises(ValueError, match="alpha"):
+        sample_replicated_packed(gmod.make_model, de, 100, datasets)
+
+
 def test_fused_optimize_rastrigin_min(interpret):
     """Greedy minimize + evaluate_fun fuse (utilities.jl:113-120,220-226):
     f32 Rastrigin reaches the 0 optimum through the kernel path."""
