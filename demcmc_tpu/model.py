@@ -235,6 +235,14 @@ class DEModel:
     """Chains-last batched form of ``prior_loglike`` — see
     ``loglike_batched``."""
 
+    data_batched: Any = None
+    """Optional alternative ``data`` used ONLY by the batched densities
+    (the fused kernel path).  ``sample_replicated_packed`` sets this to
+    the per-chain-expanded data (leaves with trailing ``[8, C/8]`` chain
+    axes) while ``data`` keeps one replication's plain shape, so the
+    per-cell XLA ``loglike`` — which build_step still traces for dtype
+    and draw-pool probing — sees broadcast-compatible operands."""
+
     chunk_obs: bool = False
     """Declares that every leaf of ``data`` carries a LEADING independent-
     observation axis and ``loglike_batched`` sums over it, so the fused

@@ -511,8 +511,14 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         return lp.reshape(R, Cf).astype(dt)
 
     def _ll(cols):
+        # data_batched (when set) is the BATCHED densities' view of the
+        # data — e.g. sample_replicated_packed's per-chain-expanded
+        # leaves — while model.data keeps the plain shape the per-cell
+        # XLA path (and build_step's dtype/pool probes) can broadcast
+        ll_data = (model.data if model.data_batched is None
+                   else model.data_batched)
         if not model.chunk_obs:
-            return model.loglike_batched(model.data, *model.args, *cols,
+            return model.loglike_batched(ll_data, *model.args, *cols,
                                          **model.kwargs)
         # observation chunking (model.chunk_obs contract): evaluate the
         # density over small data slices and add the partial sums, so
@@ -521,7 +527,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         # rather than streaming through VMEM on every op.  CH targets
         # ≤ 16 vregs (64 KiB) per intermediate.
         import jax.tree_util as jtu
-        data = jtu.tree_map(np.asarray, model.data)
+        data = jtu.tree_map(np.asarray, ll_data)
         n_obs = jtu.tree_leaves(data)[0].shape[0]
         CH = max(1, (1 << 16) // (R * Cf * 4))
         tot = None

@@ -1148,7 +1148,7 @@ def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
         return a.reshape(a.shape[:-1] + (Rrow, Cf_tot))
 
     packed_data = jax.tree.map(pack, jax.tree.map(np.asarray, datasets))
-    packed_model = _dc.replace(model0, data=packed_data)
+    packed_model = _dc.replace(model0, data_batched=packed_data)
     packed_model.__dict__.pop("_step_cache", None)
 
     step = build_step(packed_model, de_packed, spec)

@@ -18,7 +18,10 @@ identical to serial ``sample`` calls, ~20x faster end to end (11 s on
 the 4-core CPU harness vs minutes serial).  Recorded runs: 2026-08-17
 serial p = 0.62 / 0.32; 2026-08-18 vectorized p = 0.125 / 0.464 (both
 PASS — the draw streams differ because round-2 fidelity fixes changed
-pool-draw internals, not because of the vectorization).
+pool-draw internals, not because of the vectorization).  2026-08-18
+full six-suite run: binomial 0.125, snooker+resample 0.464,
+pseudo-marginal 0.333, discrete 0.115, blocked 0.093, packed 0.333 —
+all PASS.
 
 Run (CPU, grant-free):
     JAX_PLATFORMS=cpu PYTHONPATH=/opt/venv/lib/python3.12/site-packages:. \
@@ -215,6 +218,77 @@ def sbc_discrete(M=40, n_obs=5):
     return np.asarray(ranks)
 
 
+def sbc_packed(M=64, d=2, n_obs=16):
+    """SBC of the PACKED replicated fused path
+    (``sample_replicated_packed``): M replications run as one
+    ``M·n_groups``-group fused-kernel population with per-replication
+    data folded as per-chain constants.  Rank uniformity per
+    replication catches (a) data/chain packing mixups (a replication
+    seeing a neighbour's data is a shifted posterior), (b) PRNG-stream
+    coupling across the shared pool, and (c) partial-evaluator folding
+    errors on trailing-chain-axis data leaves.  Gaussian-mean model
+    with known sigma and host-folded sufficient statistics."""
+    from demcmc_tpu.sampler import sample_replicated_packed
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":      # CPU harness: interpret-mode
+        os.environ.setdefault("DEMCMC_FUSED", "interpret")
+
+    rng = np.random.default_rng(41)
+    mu_true = rng.normal(0.0, 1.0, size=(M, d))
+    datasets = jnp.asarray(
+        rng.normal(mu_true[:, None, :], 1.0, size=(M, n_obs, d)),
+        jnp.float32)
+
+    def loglike(data, mu):
+        return -0.5 * jnp.sum((data - mu) ** 2)
+
+    def prior_loglike(mu):
+        return -0.5 * jnp.sum(mu ** 2)
+
+    def loglike_batched(data, mu):
+        # mu arrives as [d, *cs] (one column per (d,) param); sufficient
+        # statistics along axis 0 ONLY (host-folded; packed data carries
+        # trailing [8, C/8] chain axes that already match mu's)
+        x = np.asarray(data, np.float64)
+        n = x.shape[0]
+        xbar = np.asarray(x.mean(axis=0), np.float32)  # [d] or [d,8,C/8]
+        ss = np.asarray(((x - x.mean(axis=0)) ** 2).sum(axis=0),
+                        np.float32)
+        pad = (1,) * (mu.ndim - xbar.ndim)
+        xbar_b = xbar.reshape(xbar.shape[:1] + pad + xbar.shape[1:])
+        ss_b = ss.reshape(ss.shape[:1] + pad + ss.shape[1:])
+        dm_ = mu - xbar_b
+        return (-0.5 * (ss_b + n * dm_ * dm_)).sum(axis=0)
+
+    def prior_loglike_batched(mu):
+        return -0.5 * (mu * mu).sum(axis=0)
+
+    def make_model(data):
+        return dm.DEModel(
+            loglike=loglike, prior_loglike=prior_loglike,
+            sample_prior=lambda k: [jax.random.normal(k, (d,))],
+            names=("mu",), data=data,
+            loglike_batched=loglike_batched,
+            prior_loglike_batched=prior_loglike_batched)
+
+    de = dm.DE(Np=4, n_groups=4, alpha=0.0, burnin=300,
+               bounds=((-np.inf, np.inf),))
+    reps = sample_replicated_packed(make_model, de, 900, datasets,
+                                    key=77)
+    print(f"[sbc-packed] {M} replications sampled (one fused "
+          f"population, C_tot={M * de.n_chains})")
+    ranks = []
+    for i, chains in enumerate(reps):
+        mu_draws = chains.group("mu")            # [Ns, d, C]
+        for j in range(d):
+            draws = mu_draws[:, j, :].reshape(-1)
+            idx = np.linspace(0, draws.size - 1, L).astype(int)
+            ranks.append(int(np.sum(draws[idx] < mu_true[i, j])))
+    return np.asarray(ranks)
+
+
 def _chi2(ranks, label, B=8):
     Mtot = ranks.size
     edges = np.linspace(0, L + 1, B + 1)
@@ -264,7 +338,8 @@ def main():
     p3 = _chi2(sbc_pseudo_marginal(), "pseudo-marginal-abc")
     p4 = _chi2(sbc_discrete(), "discrete-round-and-cast")
     p5 = _chi2(sbc_blocked(), "blocked/reset")
-    return min(p, p2, p3, p4, p5)
+    p6 = _chi2(sbc_packed(), "packed-replications")
+    return min(p, p2, p3, p4, p5, p6)
 
 
 if __name__ == "__main__":
