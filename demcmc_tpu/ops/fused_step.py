@@ -69,19 +69,30 @@ except Exception:                                        # pragma: no cover
 
 _R = 8          # f32 sublane count: chains pack as [_R, C // _R]
 
-# Above this group count the in-kernel migration's [G, G] rank/route
-# matrices stop fitting comfortably in VMEM; larger configs keep the XLA
-# migration outside the kernel under a lax.cond (ops/migration.py's
-# O(G log G) index routing).
-MIG_MAX_G = 1024
+# Above this group count migration leaves the kernel: the in-kernel
+# [G, G] rank/route machinery (fired under pl.when) grows O(G²) while
+# the XLA alternative — migration outside under a lax.cond — pays a
+# fixed ~1 µs cond sync plus forfeits the K-superstep (K > 1 needs the
+# gate in-kernel).  Measured crossover on a v5e (validation/
+# mig16k_bench.py, 2026-08-19, Np=16, α=0.1, slope-fit):
+#   G=256:  in-kernel 2.39 µs/step vs cond 5.77  (in-kernel 2.4x better)
+#   G=512:  in-kernel 6.09          vs cond 6.42  (≈ tied)
+#   G=1024: in-kernel 20.9          vs cond 9.81  (cond 2.1x better)
+# DISTINCT from ops/migration.py's _SMALL_G (=1024), the XLA routing's
+# own matrix-vs-argsort cutoff in HBM — the VMEM/superstep economics
+# here cross over earlier.
+MIG_MAX_G = 512
 
 # iterations per kernel launch on the superstep path (build_fused_step K):
 # per-iteration cost is launch-overhead bound, so one launch runs K
 # iterations with the population carried in VMEM scratch.  Bitwise
 # equality with K single-iteration launches is guaranteed (the hardware
 # PRNG is re-seeded per (key, iteration) inside the grid loop) and
-# regression-tested.
-SUPER_K = 8
+# regression-tested.  On-chip K-scan (validation/ksuper_bench.py,
+# 2026-08-19, v5e): K=8 → 2.603 µs/iter, K=16 → 2.528, K=32 → 2.490 on
+# the 4k-chain Gaussian; 16 takes most of the tail without inflating
+# the per-launch trajectory block.
+SUPER_K = 16
 
 
 def super_k() -> int:
@@ -100,6 +111,12 @@ def supported(model, de, spec) -> bool:
     if not _HAVE_PALLAS or _mode() == "off":
         return False
     if _mode() != "interpret" and jax.default_backend() != "tpu":
+        return False
+    if jax.config.jax_default_prng_impl != "threefry2x32":
+        # the kernel's (key, iteration) seeding contract and the sharded
+        # wrapper's wrap_key_data both assume 2-word threefry key data; a
+        # 4-word rbg key would be silently truncated (single-device) or
+        # raise inside the jitted scan (sharded) — fall back to XLA
         return False
     gp = de.generate_proposal
     if gp not in (proposal_ops.random_gamma, proposal_ops.fixed_gamma,
@@ -264,9 +281,12 @@ def _seg_gather(rolls, idx, p, Np):
 # kernel builder
 # ---------------------------------------------------------------------------
 
-def _mig_apply(theta, w, u_col, na_f, gum, p, *, G, Np, Gr):
+def _mig_apply(theta, w, u_row, na_f, gum, p, *, G, Np, Gr):
     """The reference migration (``src/migration.jl:11-91``) on the
-    packed population: N ~ U{2..G} groups (uniform ranks ``u_col``),
+    packed population: N ~ U{2..G} groups (per-group uniform ranks —
+    each group's uniform is its LEADER lane's value of the per-chain
+    draw ``u_row`` [R, Cf], compacted here so the kernel's unconditional
+    draw is one ordinary row instead of a [G, 128] prng block),
     victim per group ∝ softmax(-w) (Gumbel-max), circular shift of
     victims along the rank order.  Routing runs in group space via
     one-hot contractions at ``Precision.HIGHEST`` — bitexact for 0/1
@@ -286,6 +306,24 @@ def _mig_apply(theta, w, u_col, na_f, gum, p, *, G, Np, Gr):
     def bcol(col):                  # [G,1] -> [G,G]: out[i,j]=col[i]
         return jax.lax.dot_general(col, ones, (((1,), (1,)), ((), ())),
                                    precision=HIGH)
+
+    # ---- lane -> group compaction (shared by the rank uniforms and the
+    # victim transport below): out[g] = v[row_of(g), leader_lane(g)] via
+    # a one-hot NT gemm + row-select mask (exact: one-hot × value).
+    gcI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 0)
+    lcI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 1)
+    A_leader = (lcI == (gcI % Gr) * Np).astype(dt)            # [G,Cf]
+    gRI = jax.lax.broadcasted_iota(jnp.int32, (G, R), 0)
+    rRI = jax.lax.broadcasted_iota(jnp.int32, (G, R), 1)
+    row_of_g = ((gRI // Gr) == rRI).astype(dt)                # [G,R]
+
+    def compact(v):                 # [R,Cf] leader-lane values -> [G,1]
+        out_gr = jax.lax.dot_general(A_leader, v,
+                                     (((1,), (1,)), ((), ())),
+                                     precision=HIGH)          # [G,R]
+        return jnp.sum(out_gr * row_of_g, axis=1, keepdims=True)
+
+    u_col = compact(u_row)                                    # [G,1]
 
     # rank of each group's uniform (ties broken by index: a strict
     # total order, so ranks are a permutation — select_groups,
@@ -329,21 +367,8 @@ def _mig_apply(theta, w, u_col, na_f, gum, p, *, G, Np, Gr):
     # (contract dim1 × dim1, one-hot or [·,1] operands — the only dot
     # orientations the remote Mosaic compiler demonstrably handles;
     # TN-orientation dots and [1,Cf]-broadcast arithmetic crashed it).
-    # Compaction: out_GR[g, r'] = v[r', leader_lane(g)] via a one-hot
-    # NT gemm, then a [G, R] row-select mask + lane reduce (exact:
-    # one-hot × value + zeros).
-    gcI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 0)
-    lcI = jax.lax.broadcasted_iota(jnp.int32, (G, Cf), 1)
-    A_leader = (lcI == (gcI % Gr) * Np).astype(dt)            # [G,Cf]
-    gRI = jax.lax.broadcasted_iota(jnp.int32, (G, R), 0)
-    rRI = jax.lax.broadcasted_iota(jnp.int32, (G, R), 1)
-    row_of_g = ((gRI // Gr) == rRI).astype(dt)                # [G,R]
-
-    def compact(v):                 # [R,Cf] group-bcast values -> [G,1]
-        out_gr = jax.lax.dot_general(A_leader, v,
-                                     (((1,), (1,)), ((), ())),
-                                     precision=HIGH)          # [G,R]
-        return jnp.sum(out_gr * row_of_g, axis=1, keepdims=True)
+    # Compaction is the shared `compact` above (victim values were
+    # group-broadcast by `vict`, so their leader lane carries them).
 
     # routing: routed[g] = sel[source(g)] — elementwise mask + lane
     # reduce over the one-hot route rows (exactly one nonzero per row,
@@ -388,8 +413,9 @@ def build_migration_kernel(G, Np, d, interpret=True):
     check).  Inputs are the raw migration draws, so a numpy oracle can
     compute the expected output deterministically:
 
-    ``(theta3 [d,R,Cf], w3 [R,Cf], u_col [G,1] uniforms, na_f [1,1]
-    N-as-float, gum [R,Cf] gumbels) -> (new_theta3, new_w3)``.
+    ``(theta3 [d,R,Cf], w3 [R,Cf], u_row [R,Cf] per-chain uniforms
+    (group g ranks by its leader lane's value), na_f [1,1] N-as-float,
+    gum [R,Cf] gumbels) -> (new_theta3, new_w3)``.
     """
     C = G * Np
     R = _R
@@ -908,7 +934,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         # ---- migration BEFORE the update (main.jl:85), in-kernel under
         # the look-ahead Bernoulli(α) gate; draws are unconditional ------
         if mig_in_kernel:
-            u_col = to_uni(take_flat(G))
+            u_row = uni(1)          # per-chain; leader lanes rank groups
             nb = take_flat(1)
             na_f = (pltpu.bitcast(nb % np.uint32(G - 1), jnp.int32)
                     .astype(dt) + np.float32(2.0))            # [1,1]
@@ -916,7 +942,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
             @pl.when(fire_sc[0] != 0)
             def _():
-                nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_col, na_f,
+                nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_row, na_f,
                                     gum, p, G=G, Np=Np, Gr=Gr)
                 for i in range(d):
                     theta_sc[i] = nt[i]

@@ -137,10 +137,15 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec,
         # the frozen content key, NOT the DE object: distinct-but-equal DE
         # configs with ndarray blocks would hash equal but make the dict's
         # __eq__ fallback raise the ambiguous-array ValueError
-        # super_k() in the key: a DEMCMC_SUPER_K change between runs must
-        # rebuild the step (get_superstep memoizes its kernel)
+        # super_k()/DEMCMC_MIG_GATE in the key: a build-time env-knob
+        # change between runs must rebuild the step (get_superstep
+        # memoizes its kernel; the big-G migration gate style is baked
+        # into the wrapped step)
+        import os as _os
         cache_key = (de._static_key(), _spec_key(spec), allow_fused, mesh,
-                     fused_mod.super_k() if allow_fused else 0)
+                     fused_mod.super_k() if allow_fused else 0,
+                     _os.environ.get("DEMCMC_MIG_GATE", "cond")
+                     if allow_fused else "")
         hash(cache_key)
     except TypeError:
         cache, cache_key = None, None
@@ -161,10 +166,22 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec,
 
 
 def _raw_key(key):
-    """PRNG key as its raw uint32 words (old- or new-style keys)."""
-    if jnp.issubdtype(key.dtype, jnp.integer):
-        return key.astype(jnp.uint32)
-    return jax.random.key_data(key).astype(jnp.uint32)
+    """PRNG key as its raw uint32 words (old- or new-style keys).
+
+    Fused-path contract: 2-word (threefry2x32) keys only — the kernel
+    seeds the hardware PRNG from exactly two words and the sharded
+    wrapper re-wraps with ``impl='threefry2x32'``.  ``supported()``
+    already rejects a non-threefry *default* impl; this guard catches an
+    explicitly-passed foreign key (e.g. a 4-word rbg key), which would
+    otherwise be silently truncated."""
+    raw = (key.astype(jnp.uint32) if jnp.issubdtype(key.dtype, jnp.integer)
+           else jax.random.key_data(key).astype(jnp.uint32))
+    if raw.shape[-1] != 2:
+        raise ValueError(
+            f"the fused kernel requires a 2-word threefry2x32 key; got "
+            f"key data shape {raw.shape} (pass allow_fused=False or use "
+            "the default PRNG impl)")
+    return raw
 
 
 def _shard_wrap(kern, mesh):
@@ -665,6 +682,18 @@ def _shard_state(state: SamplerState, mesh):
                         shardings, is_leaf=lambda x: x is None)
 
 
+def _thin_wrap(step, thin):
+    """Keep every ``thin``-th draw on the XLA step path: ``thin - 1``
+    carry-only steps in an inner scan, then one emitting step.  Shared
+    by :func:`run_scan` and :func:`sample_replicated`'s vmapped runs
+    (the fused path replaces this with an emit='last' kernel launch)."""
+    def thin_step(s, _=None):
+        s, _ = jax.lax.scan(lambda c, x: (step(c)[0], None), s, None,
+                            length=thin - 1)
+        return step(s)
+    return thin_step
+
+
 def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
              checkpoint_every: int = 0, checkpoint_path: str = None,
              progress_chunks: int = 20, thin: int = 1,
@@ -701,12 +730,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
             # launch-per-iteration inner scan
             step = thin_step
         else:
-            inner = step
-
-            def step(s, _=None):
-                s, _ = jax.lax.scan(lambda c, x: (inner(c)[0], None), s,
-                                    None, length=thin - 1)
-                return inner(s)
+            step = _thin_wrap(step, thin)
 
         n_iter = n_iter // thin
 
@@ -1077,12 +1101,7 @@ def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
         # kernel's host-side constant folding applies
         step = _build_step_uncached(model, de, spec)
         state = _grow_history(init_state(model, de, spec, k), n_iter)
-        run_step = step
-        if thin > 1:
-            def run_step(s, _=None):
-                s, _ = jax.lax.scan(lambda c, x: (step(c)[0], None), s,
-                                    None, length=thin - 1)
-                return step(s)
+        run_step = _thin_wrap(step, thin) if thin > 1 else step
         _, ys = jax.lax.scan(lambda s, x: run_step(s), state, None,
                              length=n_iter // thin)
         return ys
@@ -1126,6 +1145,9 @@ def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
         raise ValueError("sample_replicated_packed requires alpha=0 "
                          "(migration would mix replications); use "
                          "sample_replicated for alpha > 0")
+    if thin > 1 and de.discard_burnin and de.burnin % thin:
+        raise ValueError(f"burnin ({de.burnin}) must be divisible by "
+                         f"thin ({thin})")
     datasets, keys, model0, spec, R = _replicated_setup(
         make_model, de, datasets, key, None)
     import dataclasses as _dc
@@ -1165,9 +1187,15 @@ def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
         return s.theta, s.weight
 
     th, w = jax.jit(jax.vmap(init_one))(datasets, keys)
-    s0 = init_state(model0, de_packed, spec, rng.ensure_key(key))
-    state = s0._replace(theta=jnp.reshape(th, (G * R, Np, d)),
-                        weight=jnp.reshape(w, (G * R, Np)))
+    # assemble the packed state directly — a full init_state(de_packed)
+    # would evaluate a throwaway C_tot-chain prior population (and run
+    # the user loglike against replication-0 data) only to discard it
+    state = SamplerState(theta=jnp.reshape(th, (G * R, Np, d)),
+                         weight=jnp.reshape(w, (G * R, Np)),
+                         key=rng.ensure_key(key),
+                         iteration=jnp.asarray(de.n_initial + 1,
+                                               jnp.int32),
+                         history=None)
     state = step.to_fused(state)
 
     state, ys = run_scan(step, state, n_iter, thin=thin)

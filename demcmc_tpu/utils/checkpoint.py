@@ -52,8 +52,8 @@ def _write_atomic(path: str, arrays: dict) -> None:
 def save_state(path: str, state, async_: bool = False):
     """Snapshot ``state`` to ``path`` (atomically).  With ``async_=True``
     the disk write runs on a background thread and a
-    ``concurrent.futures.Future`` is returned — call ``.result()`` (or
-    :func:`wait_pending`) to join; exceptions surface there."""
+    ``concurrent.futures.Future`` is returned — call ``.result()`` to
+    join; exceptions surface there."""
     # named fields, not positional leaves: optional fields (history,
     # fire) must survive a round trip unambiguously — a leaf COUNT
     # cannot distinguish (history) from (fire)

@@ -227,11 +227,18 @@ def _run_mig_kernel(theta, w, u, n_act, gum, interpret=True):
     G, Np, d = theta.shape
     C = G * Np
     R, Cf = 8, C // 8
+    Gr = Cf // Np
     t3 = _pack(theta.astype(np.float32), d, R, Cf)
     w3 = w.astype(np.float32).reshape(R, Cf)
+    # the kernel ranks group g by its LEADER lane's per-chain uniform:
+    # scatter u[g] to (row g // Gr, lane (g % Gr)·Np) and poison every
+    # other lane — a compaction accidentally reading non-leader lanes
+    # would be unmissable
+    u_row = np.full((R, Cf), 777.0, np.float32)
+    gs = np.arange(G)
+    u_row[gs // Gr, (gs % Gr) * Np] = u.astype(np.float32)
     kern = fused_step.build_migration_kernel(G, Np, d, interpret=interpret)
-    nt, nw = jax.jit(kern)(t3, w3,
-                           u.astype(np.float32).reshape(G, 1),
+    nt, nw = jax.jit(kern)(t3, w3, u_row,
                            np.float32(n_act).reshape(1, 1),
                            gum.astype(np.float32).reshape(R, Cf))
     nt = np.asarray(nt).reshape(d, C).T.reshape(G, Np, d)
@@ -513,3 +520,39 @@ def test_gaussian_batched_density_shift_invariant():
         # f32 density vs f64 oracle: a few f32 ulps at |logp| ~ 200
         # (pre-fix errors at loc=1000 were O(1-2) — MH-delta scale)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.02)
+
+
+def test_mig_gate_env_in_step_cache_key(interpret, monkeypatch):
+    """A DEMCMC_MIG_GATE change between calls on the SAME model must
+    rebuild the step — the big-G gate style is baked into the wrapped
+    step, so it lives in build_step's cache key (like DEMCMC_SUPER_K)."""
+    monkeypatch.setattr(fused_step, "MIG_MAX_G", 16)
+    monkeypatch.setenv("DEMCMC_MIG_GATE", "cond")
+    model, de = _make(alpha=0.5, burnin=100)      # G=32 > patched max
+    spec = make_spec(model, de)
+    s1 = build_step(model, de, spec)
+    assert s1 is build_step(model, de, spec)      # stable within a style
+    monkeypatch.setenv("DEMCMC_MIG_GATE", "branchless")
+    assert build_step(model, de, spec) is not s1
+
+
+def test_non_threefry_prng_impl_falls_back(interpret):
+    """A non-threefry default PRNG impl (e.g. partitionable rbg) must
+    reject the fused path — the kernel's (key, iteration) seeding and the
+    sharded wrapper's wrap_key_data assume 2-word threefry key data."""
+    model, de = _make()
+    spec = make_spec(model, de)
+    assert fused_step.supported(model, de, spec)
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+        assert not fused_step.supported(model, de, spec)
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_raw_key_rejects_foreign_key_width():
+    """An explicitly-passed 4-word (rbg) key must raise a clear error on
+    the fused path instead of being silently truncated to 2 words."""
+    from demcmc_tpu.sampler import _raw_key
+    with pytest.raises(ValueError, match="threefry"):
+        _raw_key(jax.random.key(0, impl="rbg"))
