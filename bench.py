@@ -47,7 +47,7 @@ def bench_model(model, de, n_iter=20000):
 
     if sup is not None:
         k = step.superstep_k
-        assert n_iter % k == 0
+        n_iter += (-n_iter) % k        # round up to a whole superstep count
 
         @jax.jit
         def run(s, dummy):
@@ -134,14 +134,14 @@ def main():
 
     if sup_e is not None:
         k_e = step_e.superstep_k
-        assert n_tot % k_e == 0
+        n_tot += (-n_tot) % k_e        # round up to a whole superstep count
 
         @jax.jit
         def run_ess(s, dummy):
             s, ys = jax.lax.scan(sup_e, s, None, length=dummy.shape[0])
             # ys.theta [S, K, d, 8, C/8] -> [draws, d, 8, C/8]
             th = ys.theta.reshape((n_tot,) + ys.theta.shape[2:])
-            mu = th[de_e.burnin:, 0].reshape(n_ess, -1)
+            mu = th[-n_ess:, 0].reshape(n_ess, -1)
             return ess_device(mu)
 
         ne = jnp.zeros(n_tot // k_e, jnp.int8)
@@ -151,8 +151,8 @@ def main():
             s, ys = jax.lax.scan(step_e, s, None, length=dummy.shape[0],
                                  unroll=2)
             # fused layout stacks [draws, d, 8, C/8]; XLA [draws, chains, d]
-            mu = (ys.theta[de_e.burnin:, 0].reshape(n_ess, -1) if fused_e
-                  else ys.theta[de_e.burnin:, :, 0])
+            mu = (ys.theta[-n_ess:, 0].reshape(n_ess, -1) if fused_e
+                  else ys.theta[-n_ess:, :, 0])
             return ess_device(mu)
 
         ne = jnp.zeros(n_tot, jnp.int8)
