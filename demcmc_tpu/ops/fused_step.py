@@ -69,18 +69,21 @@ except Exception:                                        # pragma: no cover
 
 _R = 8          # f32 sublane count: chains pack as [_R, C // _R]
 
-# Above this group count migration leaves the kernel: the in-kernel
-# [G, G] rank/route machinery (fired under pl.when) grows O(G²) while
-# the XLA alternative — migration outside under a lax.cond — pays a
-# fixed ~1 µs cond sync plus forfeits the K-superstep (K > 1 needs the
-# gate in-kernel).  Measured crossover on a v5e (validation/
-# mig16k_bench.py, 2026-08-19, Np=16, α=0.1, slope-fit):
-#   G=256:  in-kernel 2.39 µs/step vs cond 5.77  (in-kernel 2.4x better)
-#   G=512:  in-kernel 6.09          vs cond 6.42  (≈ tied)
-#   G=1024: in-kernel 20.9          vs cond 9.81  (cond 2.1x better)
+# Ceiling for the FALLBACK in-kernel migration variant (the [G, G]
+# one-hot rank/route matrices of _mig_apply), used only when the
+# preferred bitonic rank network (_mig_apply_sorted, O(G log² G)) has
+# no XOR lattice — i.e. G//8 not a power of two.  The matrices grow
+# O(G²) (64 MB each at G=4096 — past VMEM), so above this the XLA
+# migration path takes over for such layouts (lax.cond or branchless,
+# forfeiting the K-superstep).  The sorted variant measured faster at
+# EVERY size (validation/mig_sorted_bench.py, 2026-08-19, v5e, Np=16,
+# α=0.1, slope-fit):
+#   G=256:  sorted 1.91 µs/step vs one-hot  2.56
+#   G=512:  sorted 3.48         vs one-hot  5.91
+#   G=1024: sorted 6.43         vs one-hot 21.9   (round-2 cond: 9.81)
+#   G=4096: sorted ≈ a=0 floor + ~1 µs     (cond: 40.7)
 # DISTINCT from ops/migration.py's _SMALL_G (=1024), the XLA routing's
-# own matrix-vs-argsort cutoff in HBM — the VMEM/superstep economics
-# here cross over earlier.
+# own matrix-vs-argsort cutoff in HBM.
 MIG_MAX_G = 512
 
 # iterations per kernel launch on the superstep path (build_fused_step K):
@@ -222,6 +225,15 @@ def _roll(x, shift):
         flat = x.reshape(-1, x.shape[-1])
         return pltpu.roll(flat, shift, axis=1).reshape(x.shape)
     return pltpu.roll(x, shift, axis=x.ndim - 1)
+
+
+def _sroll(x, shift):
+    """Sublane (row) roll on [R, Cf]: out[r] = x[r - shift].  Verified
+    safe on the remote Mosaic compiler (validation/probe_mosaic3.py)."""
+    shift = int(shift) % x.shape[0]
+    if shift == 0:
+        return x
+    return pltpu.roll(x, shift, axis=0)
 
 
 def _seg_scan(x, p, Np, op):
@@ -407,7 +419,133 @@ def _mig_apply(theta, w, u_row, na_f, gum, p, *, G, Np, Gr):
     return new_theta, new_w
 
 
-def build_migration_kernel(G, Np, d, interpret=True):
+def mig_sorted_ok(G, Np) -> bool:
+    """Static predicate: can migration run in-kernel via the bitonic
+    rank network (:func:`_mig_apply_sorted`)?  The row-major element
+    XOR lattice needs ``Gr = G // 8`` (groups per sublane row) to be a
+    power of two, so in-row exchanges stay in-row and ``G = 8·Gr`` is a
+    power-of-two network size.  ``Np`` may be anything (exchanges move
+    whole Np-lane blocks by ±step·Np lane rolls)."""
+    if G % _R:
+        return False
+    Gr = G // _R
+    return Gr >= 1 and (Gr & (Gr - 1)) == 0
+
+
+def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr):
+    """The reference migration (``src/migration.jl:11-91``) as an
+    O(G log² G) bitonic rank network — the big-``G`` replacement for
+    :func:`_mig_apply`, whose [G, G] one-hot rank/route matrices grow
+    quadratically (and stop fitting VMEM around G ≈ 2k; at G = 4096
+    they would be 64 MB each).
+
+    Same semantics, same draws, same permutation: groups rank by
+    (leader-lane uniform, group index) ascending; the first N ranks
+    form the migration cycle (rank r's victim slot receives rank
+    (r−1) mod N's victim); victims by Gumbel-max of −w, first index on
+    ties.  All value movement is roll+select (never arithmetic), so
+    every f32 bit pattern — including ±inf weights — transports
+    exactly; no −inf flag column is needed, and min-mode optimization
+    (+inf out-of-bounds scores) works too.
+
+    Mechanics: element = an Np-lane group block, row-major index
+    k = row·Gr + lane//Np.  The group key is leader-broadcast so all
+    Np lanes of a block carry identical keys and blocks move as units.
+    Bitonic exchanges at element distance ``step`` are two lane rolls
+    (±step·Np) within rows, or two sublane rolls (±step//Gr) across
+    rows — construct classes verified on the remote Mosaic compiler
+    (validation/probe_mosaic3/5.py; the swap predicate uses int
+    add/mod parity: bool==bool and where-on-bool formulations crash
+    the compile helper).  Sort 1 orders (u, gid) with the victim
+    values as payload; a roll-by-one in rank space applies the cycle
+    over the first N positions; sort 2 (key gid) routes values back
+    to group order."""
+    d, R, Cf = theta.shape
+    dt = theta.dtype
+
+    rowI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 0)
+    laneI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
+    kidx = rowI * Gr + laneI // Np          # element (rank-space) index
+    gid0 = kidx.astype(dt)                  # exact for G <= 2^24
+
+    # victim per group: Gumbel-max over -w (select_particle,
+    # migration.jl:64-70; -inf weight -> +inf logit, picked first)
+    s = gum - w
+    m = _seg_last_bcast(_seg_scan(s, p, Np, jnp.maximum), p, Np)
+    cand = jnp.where(s == m, p, Np)
+    vid = _seg_last_bcast(_seg_scan(cand, p, Np, jnp.minimum), p, Np)
+    vmask = p == vid
+
+    def vict(q):                    # victim value bcast over its group
+        z = jnp.where(vmask, q, jnp.zeros_like(q))
+        return _seg_last_bcast(_seg_scan(z, p, Np, jnp.add), p, Np)
+
+    vsel = [vict(theta[i]) for i in range(d)] + [vict(w)]
+
+    # group sort key: the leader lane's uniform, broadcast so whole
+    # blocks carry consistent keys (exchange decisions are per-lane)
+    ku = _seg_leader_bcast(u_row, p, Np)
+
+    def xchg(v, step, bit0):
+        """Partner values at element distance ``step``."""
+        if step < Gr:
+            j = step * Np
+            return jnp.where(bit0 == 0, _roll(v, -j), _roll(v, j))
+        jr = step // Gr
+        return jnp.where(bit0 == 0, _sroll(v, -jr), _sroll(v, jr))
+
+    def bitonic(key, tie, payloads):
+        """Ascending bitonic sort of (key[, tie]) carrying payloads.
+        ``tie`` (second key) may be None when ``key`` is already a
+        strict total order.  Swap predicate via int parity — the only
+        compare-exchange formulation the remote compiler accepts."""
+        phase = 1
+        while phase < G:
+            step = phase
+            while step >= 1:
+                bit0 = (kidx // step) % 2
+                pk = xchg(key, step, bit0)
+                pt = xchg(tie, step, bit0) if tie is not None else None
+                pp = [xchg(v, step, bit0) for v in payloads]
+                if tie is None:
+                    less = key < pk
+                else:
+                    less = (key < pk) | ((key == pk) & (tie < pt))
+                parity = (bit0 + kidx // (2 * phase)) % 2
+                keep = (less.astype(jnp.int32) + parity) % 2 == 1
+                key = jnp.where(keep, key, pk)
+                if tie is not None:
+                    tie = jnp.where(keep, tie, pt)
+                payloads = [jnp.where(keep, v, q)
+                            for v, q in zip(payloads, pp)]
+                step //= 2
+            phase *= 2
+        return key, tie, payloads
+
+    _, gid_s, vals_s = bitonic(ku, gid0, vsel)
+
+    # rank-space cycle over the first N positions: position k receives
+    # position k-1's value (position 0 receives position N-1's)
+    na = jnp.sum(na_f)                      # scalar N as f32
+    pos_f = kidx.astype(dt)
+    routed = []
+    for v in vals_s:
+        v1 = _roll(v, Np)                            # element k-1, in-row
+        v1 = jnp.where(laneI < Np, _sroll(v1, 1), v1)    # row boundary
+        vN = jnp.sum(jnp.where((pos_f == na - np.float32(1.0)) & (p == 0),
+                               v, jnp.zeros_like(v)))    # pos N-1, scalar
+        nv = jnp.where(kidx == 0, vN, v1)
+        routed.append(jnp.where(pos_f < na, nv, v))
+
+    # unsort: key gid (a permutation — strict order, no tie key)
+    _, _, back = bitonic(gid_s, None, routed)
+
+    new_theta = [jnp.where(vmask, back[i], theta[i]) for i in range(d)]
+    new_w = jnp.where(vmask, back[d], w)
+    return new_theta, new_w
+
+
+def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
     """Standalone kernel around :func:`_mig_apply` for exactness tests
     (interpret mode on CPU; real lowering for the on-chip bitexactness
     check).  Inputs are the raw migration draws, so a numpy oracle can
@@ -416,18 +554,23 @@ def build_migration_kernel(G, Np, d, interpret=True):
     ``(theta3 [d,R,Cf], w3 [R,Cf], u_row [R,Cf] per-chain uniforms
     (group g ranks by its leader lane's value), na_f [1,1] N-as-float,
     gum [R,Cf] gumbels) -> (new_theta3, new_w3)``.
+
+    ``variant``: ``"onehot"`` = the [G, G] matrix formulation
+    (:func:`_mig_apply`), ``"sorted"`` = the bitonic rank network
+    (:func:`_mig_apply_sorted`).  Same permutation, bitexact.
     """
     C = G * Np
     R = _R
     Cf = C // R
     Gr = Cf // Np
     dt = jnp.float32
+    fn = _mig_apply if variant == "onehot" else _mig_apply_sorted
 
     def kernel(t_ref, w_ref, u_ref, na_ref, g_ref, out_t, out_w):
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
         p = lane % Np
-        nt, nw = _mig_apply(t_ref[:], w_ref[:], u_ref[:], na_ref[:],
-                            g_ref[:], p, G=G, Np=Np, Gr=Gr)
+        nt, nw = fn(t_ref[:], w_ref[:], u_ref[:], na_ref[:],
+                    g_ref[:], p, G=G, Np=Np, Gr=Gr)
         for i in range(d):
             out_t[i] = nt[i]
         out_w[:] = nw
@@ -436,7 +579,11 @@ def build_migration_kernel(G, Np, d, interpret=True):
         kernel,
         out_shape=(jax.ShapeDtypeStruct((d, R, Cf), dt),
                    jax.ShapeDtypeStruct((R, Cf), dt)),
-        interpret=pltpu.InterpretParams() if interpret else False)
+        interpret=pltpu.InterpretParams() if interpret else False,
+        # the sorted variant's bitonic stages hold ~30 MB of scoped
+        # temporaries at G=4096 — same raised budget as build_fused_step
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))
 
 
 def build_fused_step(model, de, spec, interpret=None, K=1,
@@ -488,9 +635,6 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     theta_s = float(de.theta_snooker)      # per-CHAIN snooker probability
     burnin = int(de.burnin)
     mig_in_kernel = bool(mig_in_kernel) and alpha > 0.0
-    if mig_in_kernel and G > MIG_MAX_G:
-        raise ValueError(f"in-kernel migration capped at G={MIG_MAX_G} "
-                         f"([G, G] routing matrices); got G={G}")
     if K > 1 and alpha > 0.0 and not mig_in_kernel:
         raise ValueError("K > 1 with alpha > 0 requires in-kernel "
                          "migration (the gate is data-dependent)")
@@ -503,6 +647,27 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         mode = "min"
     else:
         mode = "max"
+    # migration variant: the bitonic rank network wherever its XOR
+    # lattice exists (G//8 a power of two) — measured faster than the
+    # [G, G] one-hot matrices at EVERY size on a v5e (4k chains: 1.91 vs
+    # 2.56 µs/step; 8k: 3.48 vs 5.91; 16k: 6.43 vs 21.9;
+    # validation/mig_sorted_bench.py, 2026-08-19), and its select-only
+    # value movement carries ±inf exactly, so min-mode (+inf
+    # out-of-bounds scores) works too.  One-hot is the fallback for
+    # non-power-of-two group layouts up to MIG_MAX_G (MH/max only — its
+    # weight transport's -inf flag column doesn't cover +inf).
+    if mig_sorted_ok(G, Np):
+        mig_variant = "sorted"
+    elif G <= MIG_MAX_G and mode != "min":
+        mig_variant = "onehot"
+    elif mig_in_kernel:
+        raise ValueError(
+            f"no in-kernel migration variant for G={G} (G//8 not a power "
+            f"of two and the [G, G] fallback is "
+            f"{'min-mode-incompatible' if mode == 'min' else 'capped at '}"
+            f"{'' if mode == 'min' else MIG_MAX_G})")
+    else:
+        mig_variant = None
     # block updating (block_update!, main.jl:174-179): STATIC flat [d]
     # bool masks, one full sweep per block per iteration; None when
     # blocking is off (blocks set but constant-False blocking_on means
@@ -940,10 +1105,13 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     .astype(dt) + np.float32(2.0))            # [1,1]
             gum = -jnp.log(-jnp.log(jnp.maximum(uni(1), tiny)))
 
+            mig_fn = (_mig_apply if mig_variant == "onehot"
+                      else _mig_apply_sorted)
+
             @pl.when(fire_sc[0] != 0)
             def _():
-                nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_row, na_f,
-                                    gum, p, G=G, Np=Np, Gr=Gr)
+                nt, nw = mig_fn(theta_sc[:], w_sc[:], u_row, na_f,
+                                gum, p, G=G, Np=Np, Gr=Gr)
                 for i in range(d):
                     theta_sc[i] = nt[i]
                 w_sc[:] = nw

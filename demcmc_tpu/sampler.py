@@ -229,27 +229,34 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     migration gate; ``fire is not None`` marks a fused-layout state).
 
     Migration and the γ₂-burnin phase switch run IN-kernel (see
-    ``ops/fused_step.py``), so for G ≤ ``MIG_MAX_G`` the step has no
+    ``ops/fused_step.py``: [G, G] one-hot routing for G ≤ ``MIG_MAX_G``,
+    the O(G log² G) bitonic rank network above it), so the step has no
     data-dependent ``lax.cond`` at all — and a K-iteration "superstep"
     kernel (``step.get_superstep()``) amortizes the per-launch overhead
     across ``SUPER_K`` iterations, bitwise identical to K single steps.
-    Above ``MIG_MAX_G`` the [G, G] in-kernel routing no longer pays and
-    migration stays outside on the XLA path under a 2-way cond."""
+    Migration falls back to the XLA path (2-way cond or branchless
+    masked exchange) only under a mesh or when G//8 is not a power of
+    two."""
     from .ops import fused_step as fused_mod
     G, Np, d = de.n_groups, de.Np, spec.dim
     C = G * Np
     R = fused_mod._R
     Cf = C // R
     alpha = float(de.alpha) if G > 1 else 0.0
-    # migration stays on the XLA path when: (a) under a mesh — it is the
+    # migration stays on the XLA path only when under a mesh — it is the
     # only cross-group op and must run at GLOBAL level (migration.jl:31-35
     # draws from ALL groups; a per-shard in-kernel version would only
-    # exchange within each device's groups); (b) min-mode optimization —
-    # +inf weights (evaluate_fun!'s out-of-bounds score) don't fit the
-    # in-kernel one-hot weight transport, whose flag column covers -inf
-    # only; (c) G beyond the [G, G] routing-matrix budget
-    mig_ik = (mesh is None and 0.0 < alpha and not de.is_minimize
-              and 2 <= G <= fused_mod.MIG_MAX_G)
+    # exchange within each device's groups).  Single-device, two in-kernel
+    # variants cover everything: the bitonic rank network (O(G log² G),
+    # measured fastest at every size; select-only value movement so ±inf
+    # weights transport exactly — min-mode +inf scores included)
+    # whenever G//8 is a power of two, else the [G, G] one-hot matrices
+    # for small-G MH/max layouts.  In-kernel migration is what lets
+    # α > 0 runs keep the K-superstep (the gate is data-dependent
+    # between iterations).
+    mig_ik = (mesh is None and 0.0 < alpha and 2 <= G
+              and (fused_mod.mig_sorted_ok(G, Np)
+                   or (G <= fused_mod.MIG_MAX_G and not de.is_minimize)))
 
     def _mk(K, mig_in_kernel, emit="all"):
         if mesh is None:

@@ -223,7 +223,8 @@ def _pack(x, d, R, Cf):
     return np.ascontiguousarray(x.reshape(-1, d).T.reshape(d, R, Cf))
 
 
-def _run_mig_kernel(theta, w, u, n_act, gum, interpret=True):
+def _run_mig_kernel(theta, w, u, n_act, gum, interpret=True,
+                    variant="onehot"):
     G, Np, d = theta.shape
     C = G * Np
     R, Cf = 8, C // 8
@@ -237,7 +238,8 @@ def _run_mig_kernel(theta, w, u, n_act, gum, interpret=True):
     u_row = np.full((R, Cf), 777.0, np.float32)
     gs = np.arange(G)
     u_row[gs // Gr, (gs % Gr) * Np] = u.astype(np.float32)
-    kern = fused_step.build_migration_kernel(G, Np, d, interpret=interpret)
+    kern = fused_step.build_migration_kernel(G, Np, d, interpret=interpret,
+                                             variant=variant)
     nt, nw = jax.jit(kern)(t3, w3, u_row,
                            np.float32(n_act).reshape(1, 1),
                            gum.astype(np.float32).reshape(R, Cf))
@@ -284,12 +286,73 @@ def test_in_kernel_migration_multiset(interpret):
     np.testing.assert_array_equal(flat_in[order_in], flat_out[order_out])
 
 
+@pytest.mark.parametrize("seed,G,Np", [(0, 64, 4), (1, 1024, 4),
+                                       (2, 128, 6)])
+def test_sorted_migration_matches_oracle(interpret, seed, G, Np):
+    """The bitonic rank-network migration (the big-G in-kernel variant)
+    computes EXACTLY the reference permutation — same oracle as the
+    one-hot variant — including ±inf weights (select-only transport
+    carries any bit pattern; +inf covers min-mode optimization scores)
+    and non-power-of-two Np."""
+    rng_ = np.random.default_rng(seed)
+    d = 3
+    theta = (rng_.standard_normal((G, Np, d)) * 1e3
+             + rng_.random((G, Np, d)) * 1e-4).astype(np.float32)
+    w = rng_.standard_normal((G, Np)).astype(np.float32)
+    w[rng_.random((G, Np)) < 0.1] = -np.inf
+    w[rng_.random((G, Np)) < 0.05] = np.inf
+    u = rng_.random(G).astype(np.float32)
+    gum = rng_.gumbel(size=(G, Np)).astype(np.float32)
+    n_act = int(rng_.integers(2, G + 1))
+
+    got_t, got_w = _run_mig_kernel(theta, w, u, n_act, gum,
+                                   variant="sorted")
+    want_t, want_w = _np_migration_oracle(theta, w, u, n_act, gum)
+    np.testing.assert_array_equal(got_t, want_t)
+    np.testing.assert_array_equal(got_w, want_w)
+
+
+def test_mig_variants_bitwise_equal_end_to_end(interpret, monkeypatch):
+    """The sorted (default) and one-hot (fallback) in-kernel variants
+    must produce BITWISE identical chains — both consume the same draws
+    and implement the same permutation, so the whole trajectory
+    matches."""
+    model, de = _make(alpha=0.5, burnin=100)
+    c1 = sample(model, de, 320, key=9)                # sorted (default)
+    monkeypatch.setattr(fused_step, "mig_sorted_ok",
+                        lambda G, Np: False)          # force one-hot
+    model2, de2 = _make(alpha=0.5, burnin=100)
+    c2 = sample(model2, de2, 320, key=9)
+    assert np.array_equal(c1.data, c2.data)
+    assert np.array_equal(c1.acceptance, c2.acceptance)
+
+
+def test_onehot_mig_superstep_bitwise(interpret, monkeypatch):
+    """The one-hot fallback variant (non-power-of-two layouts) also
+    keeps the K-superstep: a SUPER_K-iteration launch is bitwise
+    identical to single steps.  (The sorted default's superstep is
+    covered by test_superstep_bitwise_equals_single_steps.)"""
+    monkeypatch.setattr(fused_step, "mig_sorted_ok", lambda G, Np: False)
+    model, de = _make(burnin=100, alpha=0.3)
+    c1 = sample(model, de, 320, key=5)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert step.get_superstep() is not None
+    step.get_superstep = lambda: None       # force single-step scans
+    step._scan_jit_cache.clear()
+    c2 = sample(model, de, 320, key=5)
+    assert np.array_equal(c1.data, c2.data)
+    assert np.array_equal(c1.acceptance, c2.acceptance)
+
+
 def test_big_g_migration_gate_styles_bitwise_equal(interpret, monkeypatch):
     """For G > MIG_MAX_G the XLA migration may ride a lax.cond OR run
     branchless (mask-applied); the two must be bitwise identical — the
     on-chip choice between them is purely a perf measurement
-    (validation/mig_gate_bench.py)."""
+    (validation/mig_gate_bench.py).  (The sorted in-kernel variant is
+    disabled here so the XLA fallback paths actually run.)"""
     monkeypatch.setattr(fused_step, "MIG_MAX_G", 16)
+    monkeypatch.setattr(fused_step, "mig_sorted_ok", lambda G, Np: False)
     monkeypatch.setenv("DEMCMC_MIG_GATE", "cond")
     model, de = _make(alpha=0.5, burnin=100)      # G=32 > patched max
     c1 = sample(model, de, 300, key=5)
