@@ -432,73 +432,76 @@ def mig_sorted_ok(G, Np) -> bool:
     return Gr >= 1 and (Gr & (Gr - 1)) == 0
 
 
-def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr):
-    """The reference migration (``src/migration.jl:11-91``) as an
-    O(G log² G) bitonic rank network — the big-``G`` replacement for
-    :func:`_mig_apply`, whose [G, G] one-hot rank/route matrices grow
-    quadratically (and stop fitting VMEM around G ≈ 2k; at G = 4096
-    they would be 64 MB each).
+# compact-sort threshold: once Gr (groups per sublane row) is a whole
+# multiple of the 128-lane vreg width, the sort runs on sliced [8, Gr]
+# arrays — Np× fewer roll-vregs per stage.  (The full-width "strided"
+# sort at G=4096 spent ~33 µs/step amortized in the rolls alone.)
+COMPACT_MIN_GR = 128
 
-    Same semantics, same draws, same permutation: groups rank by
-    (leader-lane uniform, group index) ascending; the first N ranks
-    form the migration cycle (rank r's victim slot receives rank
-    (r−1) mod N's victim); victims by Gumbel-max of −w, first index on
-    ties.  All value movement is roll+select (never arithmetic), so
-    every f32 bit pattern — including ±inf weights — transports
-    exactly; no −inf flag column is needed, and min-mode optimization
-    (+inf out-of-bounds scores) works too.
 
-    Mechanics: element = an Np-lane group block, row-major index
-    k = row·Gr + lane//Np.  The group key is leader-broadcast so all
-    Np lanes of a block carry identical keys and blocks move as units.
-    Bitonic exchanges at element distance ``step`` are two lane rolls
-    (±step·Np) within rows, or two sublane rolls (±step//Gr) across
-    rows — construct classes verified on the remote Mosaic compiler
-    (validation/probe_mosaic3/5.py; the swap predicate uses int
-    add/mod parity: bool==bool and where-on-bool formulations crash
-    the compile helper).  Sort 1 orders (u, gid) with the victim
-    values as payload; a roll-by-one in rank space applies the cycle
-    over the first N positions; sort 2 (key gid) routes values back
-    to group order."""
-    d, R, Cf = theta.shape
-    dt = theta.dtype
+def _spread_word(Gr, Np, Cf):
+    """Packed per-stage destination masks for the injective lane
+    scatter ``b -> b·Np`` (widening compact-sorted results back to the
+    population layout), computed by exact numpy routing simulation at
+    build time.  Stage ``t`` (applied MSB→LSB) moves lanes flagged in
+    bit ``t`` by ``+2^t``:  ``y = where(bit_t(word), roll(y, 2^t), y)``.
+    Returns ``(T, word [8, Cf] int32)``; raises AssertionError if the
+    routing ever collides (it cannot for this monotone injective map —
+    asserted anyway)."""
+    s = (np.arange(Gr) * (Np - 1)).astype(np.int64)
+    T = max(1, int(s.max()).bit_length())
+    pos = np.arange(Gr, dtype=np.int64)
+    word = np.zeros(Cf, np.int32)
+    for t in range(T - 1, -1, -1):
+        move = ((s >> t) & 1) == 1
+        pos2 = pos + (np.int64(1) << t) * move
+        assert len(np.unique(pos2)) == Gr, "spread routing collision"
+        word[pos2[move]] |= np.int32(1) << t
+        pos = pos2
+    assert np.array_equal(pos, np.arange(Gr, dtype=np.int64) * Np)
+    return T, np.ascontiguousarray(np.broadcast_to(word, (_R, Cf)))
 
-    rowI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 0)
-    laneI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
-    kidx = rowI * Gr + laneI // Np          # element (rank-space) index
+
+def _crow(x, jr):
+    """Row roll on the last-but-one axis of a 2-D or 3-D array via the
+    layout-preserving leading-dim collapse (``[Q, R, W] -> [Q·R, W]``).
+    Callers pair ±jr rolls with per-row XOR selects, whose partners
+    never cross a Q-block boundary (R is a power of two), so the
+    collapsed wrap rows are never selected — verified on-chip
+    (validation/probe_mosaic7.py)."""
+    if x.ndim == 2:
+        return _sroll(x, jr)
+    flat = x.reshape(-1, x.shape[-1])
+    out = pltpu.roll(flat, int(jr) % flat.shape[0], axis=0)
+    return out.reshape(x.shape)
+
+
+def _rank_cycle(ku, payloads, kidx, laneI, *, G, Gr_e, Np_e, na_f, dt):
+    """Sort elements by ``(ku, element index)`` ascending, apply the
+    migration cycle (position k < N receives position (k−1) mod N's
+    payload), and unsort.  Elements are ``Np_e``-lane blocks, ``Gr_e``
+    per sublane row, row-major index ``kidx``; ``ku``/payloads must be
+    block-consistent (identical on all lanes of an element) so blocks
+    move as units.  Payload entries may be 2-D ``[R, W]`` or BATCHED
+    3-D ``[Q, R, W]`` — batching moves Q quantities per roll/select
+    instead of issuing Q separate op chains (keys and masks stay 2-D
+    and broadcast).  Bitonic exchanges at element distance ``step``
+    are two lane rolls (±step·Np_e) within rows, or two row rolls
+    (±step//Gr_e) across them.  The compare-exchange keep-predicate is
+    int add/mod parity — bool==bool / where-on-bool crash the remote
+    Mosaic compile helper (validation/probe_mosaic3/5.py)."""
     gid0 = kidx.astype(dt)                  # exact for G <= 2^24
 
-    # victim per group: Gumbel-max over -w (select_particle,
-    # migration.jl:64-70; -inf weight -> +inf logit, picked first)
-    s = gum - w
-    m = _seg_last_bcast(_seg_scan(s, p, Np, jnp.maximum), p, Np)
-    cand = jnp.where(s == m, p, Np)
-    vid = _seg_last_bcast(_seg_scan(cand, p, Np, jnp.minimum), p, Np)
-    vmask = p == vid
-
-    def vict(q):                    # victim value bcast over its group
-        z = jnp.where(vmask, q, jnp.zeros_like(q))
-        return _seg_last_bcast(_seg_scan(z, p, Np, jnp.add), p, Np)
-
-    vsel = [vict(theta[i]) for i in range(d)] + [vict(w)]
-
-    # group sort key: the leader lane's uniform, broadcast so whole
-    # blocks carry consistent keys (exchange decisions are per-lane)
-    ku = _seg_leader_bcast(u_row, p, Np)
-
     def xchg(v, step, bit0):
-        """Partner values at element distance ``step``."""
-        if step < Gr:
-            j = step * Np
+        if step < Gr_e:
+            j = step * Np_e
             return jnp.where(bit0 == 0, _roll(v, -j), _roll(v, j))
-        jr = step // Gr
-        return jnp.where(bit0 == 0, _sroll(v, -jr), _sroll(v, jr))
+        jr = step // Gr_e
+        return jnp.where(bit0 == 0, _crow(v, -jr), _crow(v, jr))
 
     def bitonic(key, tie, payloads):
-        """Ascending bitonic sort of (key[, tie]) carrying payloads.
-        ``tie`` (second key) may be None when ``key`` is already a
-        strict total order.  Swap predicate via int parity — the only
-        compare-exchange formulation the remote compiler accepts."""
+        """Ascending; ``tie`` may be None when ``key`` is already a
+        strict total order."""
         phase = 1
         while phase < G:
             step = phase
@@ -522,26 +525,173 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr):
             phase *= 2
         return key, tie, payloads
 
-    _, gid_s, vals_s = bitonic(ku, gid0, vsel)
+    _, gid_s, vals_s = bitonic(ku, gid0, payloads)
 
     # rank-space cycle over the first N positions: position k receives
-    # position k-1's value (position 0 receives position N-1's)
+    # position k-1's value (position 0 receives position N-1's).  The
+    # wrap value (position N-1, a dynamic location) reaches position 0
+    # by flag-guided select-doubling — log₂(G) roll stages, no
+    # reductions (per-leading-dim scalar broadcasts crash the remote
+    # compiler, probe_mosaic7.py) and no arithmetic on the payload
+    # (±inf transports exactly).
     na = jnp.sum(na_f)                      # scalar N as f32
     pos_f = kidx.astype(dt)
+    # all Np_e lanes of position N-1 flag (payloads are block-consistent,
+    # so duplicates are harmless — and the victim lane that ultimately
+    # consumes the value is NOT necessarily the leader lane)
+    pick = pos_f == na - np.float32(1.0)
+    flag0 = pick.astype(jnp.int32)
+
+    rowI = kidx // Gr_e                     # sublane row, [R, W] int
+
+    def crow_circ(v, jr):
+        """Row roll circular WITHIN each leading block: out[.., r, :] =
+        v[.., (r - jr) mod R, :].  For 3-D the plain collapsed roll
+        would leak across blocks at the wrap rows; pairing two
+        collapsed rolls with a row select keeps it in-block."""
+        if v.ndim == 2:
+            return _sroll(v, jr)
+        R = v.shape[-2]
+        return jnp.where(rowI < jr, _crow(v, jr - R), _crow(v, jr))
+
+    def kroll(v, s):
+        """CIRCULAR roll by +s in row-major element-index space."""
+        j = s * Np_e
+        if j < Gr_e * Np_e:
+            v1 = _roll(v, j)
+            fix = crow_circ(v1, 1)
+            return jnp.where(laneI < j, fix, v1)
+        return crow_circ(v, j // (Gr_e * Np_e))
+
     routed = []
     for v in vals_s:
-        v1 = _roll(v, Np)                            # element k-1, in-row
-        v1 = jnp.where(laneI < Np, _sroll(v1, 1), v1)    # row boundary
-        vN = jnp.sum(jnp.where((pos_f == na - np.float32(1.0)) & (p == 0),
-                               v, jnp.zeros_like(v)))    # pos N-1, scalar
-        nv = jnp.where(kidx == 0, vN, v1)
+        v1 = kroll(v, 1)                    # element k-1 everywhere
+        # broadcast position N-1's value to all lanes (only position 0
+        # consumes it)
+        val, flag = jnp.where(pick, v, jnp.zeros_like(v)), flag0
+        s = 1
+        while s < G:
+            rv, rf = kroll(val, s), kroll(flag, s)
+            val = jnp.where(rf == 1, rv, val)
+            flag = jnp.maximum(flag, rf)
+            s *= 2
+        nv = jnp.where(kidx == 0, val, v1)
         routed.append(jnp.where(pos_f < na, nv, v))
 
     # unsort: key gid (a permutation — strict order, no tie key)
     _, _, back = bitonic(gid_s, None, routed)
+    return back
 
-    new_theta = [jnp.where(vmask, back[i], theta[i]) for i in range(d)]
-    new_w = jnp.where(vmask, back[d], w)
+
+def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
+                      spread=None, anchor=None):
+    """The reference migration (``src/migration.jl:11-91``) as an
+    O(G log² G) bitonic rank network — the any-scale replacement for
+    :func:`_mig_apply`, whose [G, G] one-hot rank/route matrices grow
+    quadratically (and stop fitting VMEM around G ≈ 2k; at G = 4096
+    they would be 64 MB each).
+
+    Same semantics, same draws, same permutation: groups rank by
+    (leader-lane uniform, group index) ascending; the first N ranks
+    form the migration cycle (rank r's victim slot receives rank
+    (r−1) mod N's victim); victims by Gumbel-max of −w, first index on
+    ties.  All value movement is roll+select (never arithmetic), so
+    every f32 bit pattern — including ±inf weights — transports
+    exactly; no −inf flag column is needed, and min-mode optimization
+    (+inf out-of-bounds scores) works too.
+
+    Two geometries (identical permutation, bitexact):
+
+    * strided (``spread=None``): elements are the Np-lane group blocks
+      themselves, keys leader-broadcast so blocks move as units — no
+      layout changes, but every exchange rolls full-width arrays;
+    * compact (``spread=(T, word)``, requires ``Gr % 128 == 0``):
+      leader values barrel-compress (destination-indexed shifts with
+      the linear shift ``s(b) = b·(Np−1)`` — iota masks) into sliced
+      ``[8, Gr]`` arrays, the sorts run there at Np× fewer roll-vregs
+      per stage, and results widen back by lane-concat + the
+      :func:`_spread_word` scatter, then a leader broadcast."""
+    d, R, Cf = theta.shape
+    dt = theta.dtype
+
+    rowI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 0)
+    laneI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
+    if anchor is not None:
+        # ``anchor`` is a branch-opaque runtime zero (derived from an
+        # SMEM load inside the enclosing pl.when).  Adding it to the
+        # iota roots makes every mask/key chain data-depend on the
+        # region, so LICM cannot hoist the u/iota-derived machinery
+        # (~20 µs/step at 65k chains) out of the branch and pay it on
+        # every UNfired iteration too.  Runtime values are unchanged.
+        rowI = rowI + anchor
+        laneI = laneI + anchor
+        p = p + anchor
+
+    # victim per group: Gumbel-max over -w (select_particle,
+    # migration.jl:64-70; -inf weight -> +inf logit, picked first)
+    s = gum - w
+    m = _seg_last_bcast(_seg_scan(s, p, Np, jnp.maximum), p, Np)
+    cand = jnp.where(s == m, p, Np)
+    vid = _seg_last_bcast(_seg_scan(cand, p, Np, jnp.minimum), p, Np)
+    vmask = p == vid
+
+    def vict(q):                    # victim value bcast over its group
+        # q may be 3-D [d, R, Cf] — one seg-op chain moves all d rows
+        # (2-D masks broadcast against the trailing axes)
+        z = jnp.where(vmask, q, jnp.zeros_like(q))
+        return _seg_last_bcast(_seg_scan(z, p, Np, jnp.add), p, Np)
+
+    tv, wv = vict(theta), vict(w)           # [d, R, Cf] / [R, Cf]
+
+    if spread is None:
+        # group sort key: the leader lane's uniform, broadcast so whole
+        # blocks carry consistent keys (exchanges decide per-lane)
+        ku = _seg_leader_bcast(u_row, p, Np)
+        kidx = rowI * Gr + laneI // Np
+        t_b, w_b = _rank_cycle(ku, [tv, wv], kidx, laneI, G=G, Gr_e=Gr,
+                               Np_e=Np, na_f=na_f, dt=dt)
+    else:
+        T_sp, word = spread
+        if anchor is not None:
+            word = word + anchor
+        # barrel-compress leader lanes: out[..., b] = x[..., b·Np] — the
+        # destination-indexed shift s(b) = b·(Np−1) is linear, so the
+        # LSB→MSB stage masks are exact iota expressions
+        s_lane = laneI * (Np - 1)
+        smax = (Gr - 1) * (Np - 1)
+
+        def compress(x):
+            y = x
+            t = 0
+            while (1 << t) <= smax:
+                take = (s_lane // (1 << t)) % 2
+                y = jnp.where(take == 1, _roll(y, -(1 << t)), y)
+                t += 1
+            return y[..., :Gr]
+
+        ku_c = compress(u_row)
+        tv_c, wv_c = compress(tv), compress(wv)
+        rowC = jax.lax.broadcasted_iota(jnp.int32, (R, Gr), 0)
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (R, Gr), 1)
+        kidx_c = rowC * Gr + laneC
+        t_r, w_r = _rank_cycle(ku_c, [tv_c, wv_c], kidx_c, laneC, G=G,
+                               Gr_e=Gr, Np_e=1, na_f=na_f, dt=dt)
+
+        def widen(v_c):
+            flat = v_c.reshape(-1, Gr)       # leading-collapse: 2-D concat
+            wide = jnp.concatenate(
+                [flat, jnp.zeros((flat.shape[0], Cf - Gr), v_c.dtype)],
+                axis=1).reshape(v_c.shape[:-1] + (Cf,))
+            y = wide
+            for t in range(T_sp - 1, -1, -1):
+                take = (word // (1 << t)) % 2
+                y = jnp.where(take == 1, _roll(y, 1 << t), y)
+            return _seg_leader_bcast(y, p, Np)
+
+        t_b, w_b = widen(t_r), widen(w_r)
+
+    new_theta = [jnp.where(vmask, t_b[i], theta[i]) for i in range(d)]
+    new_w = jnp.where(vmask, w_b, w)
     return new_theta, new_w
 
 
@@ -564,18 +714,32 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
     Cf = C // R
     Gr = Cf // Np
     dt = jnp.float32
-    fn = _mig_apply if variant == "onehot" else _mig_apply_sorted
+    extra = []
+    sp_T = None
+    if variant == "sorted" and Gr % COMPACT_MIN_GR == 0:
+        sp_T, word_np = _spread_word(Gr, Np, Cf)
+        extra = [word_np]
 
-    def kernel(t_ref, w_ref, u_ref, na_ref, g_ref, out_t, out_w):
+    def kernel(t_ref, w_ref, u_ref, na_ref, g_ref, *rest):
+        if extra:
+            word_ref, out_t, out_w = rest
+        else:
+            out_t, out_w = rest
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
         p = lane % Np
-        nt, nw = fn(t_ref[:], w_ref[:], u_ref[:], na_ref[:],
-                    g_ref[:], p, G=G, Np=Np, Gr=Gr)
+        if variant == "onehot":
+            nt, nw = _mig_apply(t_ref[:], w_ref[:], u_ref[:], na_ref[:],
+                                g_ref[:], p, G=G, Np=Np, Gr=Gr)
+        else:
+            sp = (sp_T, word_ref[:]) if extra else None
+            nt, nw = _mig_apply_sorted(t_ref[:], w_ref[:], u_ref[:],
+                                       na_ref[:], g_ref[:], p, G=G,
+                                       Np=Np, Gr=Gr, spread=sp)
         for i in range(d):
             out_t[i] = nt[i]
         out_w[:] = nw
 
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((d, R, Cf), dt),
                    jax.ShapeDtypeStruct((R, Cf), dt)),
@@ -584,6 +748,10 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
         # temporaries at G=4096 — same raised budget as build_fused_step
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024))
+    if not extra:
+        return call
+    return lambda t3, w3, u, na, gum: call(t3, w3, u, na, gum,
+                                           jnp.asarray(extra[0]))
 
 
 def build_fused_step(model, de, spec, interpret=None, K=1,
@@ -1019,6 +1187,15 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
     n_scratch = 4 if is_random_gamma else 3
 
+    # compact-sort widening masks for the sorted migration variant
+    # (numpy-simulated at build time, shipped as one packed-int32 input)
+    mig_spread_T = mig_word_idx = None
+    if (mig_in_kernel and mig_variant == "sorted"
+            and Gr % COMPACT_MIN_GR == 0):
+        mig_spread_T, _word_np = _spread_word(Gr, Np, Cf)
+        mig_word_idx = len(ship)
+        ship.append(_word_np)
+
     def kernel(it_ref, key_ref, fire_in_ref, *refs):
         if interpret:
             bits_ref, refs = refs[0], refs[1:]
@@ -1097,21 +1274,44 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                                  jnp.int32)
 
         # ---- migration BEFORE the update (main.jl:85), in-kernel under
-        # the look-ahead Bernoulli(α) gate; draws are unconditional ------
+        # the look-ahead Bernoulli(α) gate; BIT draws are unconditional
+        # (the PRNG stream layout must not depend on the gate) but every
+        # transform of them — especially the Gumbel double-log, ~6 µs at
+        # 65k chains — runs fired-only inside the pl.when -------------
         if mig_in_kernel:
-            u_row = uni(1)          # per-chain; leader lanes rank groups
+            u_bits = take(1)        # per-chain; leader lanes rank groups
             nb = take_flat(1)
-            na_f = (pltpu.bitcast(nb % np.uint32(G - 1), jnp.int32)
-                    .astype(dt) + np.float32(2.0))            # [1,1]
-            gum = -jnp.log(-jnp.log(jnp.maximum(uni(1), tiny)))
-
-            mig_fn = (_mig_apply if mig_variant == "onehot"
-                      else _mig_apply_sorted)
+            gum_bits = take(1)
 
             @pl.when(fire_sc[0] != 0)
             def _():
-                nt, nw = mig_fn(theta_sc[:], w_sc[:], u_row, na_f,
-                                gum, p, G=G, Np=Np, Gr=Gr)
+                # branch-opaque zero: an SMEM load the compiler cannot
+                # fold (fire is 0/1 at runtime; inside the region it is
+                # 1, so >>5 gives 0).  Anchoring the draw bits and (via
+                # the ``anchor`` kwarg) the iota roots pins the whole
+                # u/iota-derived machinery INSIDE the pl.when — without
+                # it, LICM hoists ~20 µs/step of masks, key chains and
+                # the Gumbel transform out of the branch and pays them
+                # on every unfired iteration (measured: α=0.001 ran at
+                # 36.7 µs/step vs the 16.1 α=0 floor at 65k chains)
+                anchor = fire_sc[0] >> 5
+                au = anchor.astype(jnp.uint32)
+                u_row = to_uni(u_bits | au)
+                na_f = (pltpu.bitcast((nb | au) % np.uint32(G - 1),
+                                      jnp.int32)
+                        .astype(dt) + np.float32(2.0))        # [1,1]
+                gum = -jnp.log(-jnp.log(jnp.maximum(
+                    to_uni(gum_bits | au), tiny)))
+                if mig_variant == "onehot":
+                    nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_row, na_f,
+                                        gum, p + anchor, G=G, Np=Np,
+                                        Gr=Gr)
+                else:
+                    sp = (None if mig_word_idx is None else
+                          (mig_spread_T, ship_vals[mig_word_idx]))
+                    nt, nw = _mig_apply_sorted(
+                        theta_sc[:], w_sc[:], u_row, na_f, gum, p,
+                        G=G, Np=Np, Gr=Gr, spread=sp, anchor=anchor)
                 for i in range(d):
                     theta_sc[i] = nt[i]
                 w_sc[:] = nw

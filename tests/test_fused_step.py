@@ -287,13 +287,15 @@ def test_in_kernel_migration_multiset(interpret):
 
 
 @pytest.mark.parametrize("seed,G,Np", [(0, 64, 4), (1, 1024, 4),
-                                       (2, 128, 6)])
+                                       (2, 128, 6), (3, 2048, 16)])
 def test_sorted_migration_matches_oracle(interpret, seed, G, Np):
-    """The bitonic rank-network migration (the big-G in-kernel variant)
-    computes EXACTLY the reference permutation — same oracle as the
-    one-hot variant — including ±inf weights (select-only transport
-    carries any bit pattern; +inf covers min-mode optimization scores)
-    and non-power-of-two Np."""
+    """The bitonic rank-network migration (the default in-kernel
+    variant) computes EXACTLY the reference permutation — same oracle
+    as the one-hot variant — including ±inf weights (select-only
+    transport carries any bit pattern; +inf covers min-mode
+    optimization scores) and non-power-of-two Np.  G=1024/Np=4 and
+    G=2048/Np=16 take the compact (barrel-compress + sliced-sort +
+    scatter-widen) geometry; the others the strided one."""
     rng_ = np.random.default_rng(seed)
     d = 3
     theta = (rng_.standard_normal((G, Np, d)) * 1e3
