@@ -491,6 +491,7 @@ def _rank_cycle(ku, payloads, kidx, laneI, *, G, Gr_e, Np_e, na_f, dt):
     int add/mod parity — bool==bool / where-on-bool crash the remote
     Mosaic compile helper (validation/probe_mosaic3/5.py)."""
     gid0 = kidx.astype(dt)                  # exact for G <= 2^24
+    Wl = kidx.shape[-1]                     # lane width of the grid
 
     def xchg(v, step, bit0):
         if step < Gr_e:
@@ -499,9 +500,7 @@ def _rank_cycle(ku, payloads, kidx, laneI, *, G, Gr_e, Np_e, na_f, dt):
         jr = step // Gr_e
         return jnp.where(bit0 == 0, _crow(v, -jr), _crow(v, jr))
 
-    def bitonic(key, tie, payloads):
-        """Ascending; ``tie`` may be None when ``key`` is already a
-        strict total order."""
+    def bitonic_unrolled(key, tie, payloads):
         phase = 1
         while phase < G:
             step = phase
@@ -524,6 +523,76 @@ def _rank_cycle(ku, payloads, kidx, laneI, *, G, Gr_e, Np_e, na_f, dt):
                 step //= 2
             phase *= 2
         return key, tie, payloads
+
+    def _ldyn(v, sh):
+        """Dynamic lane roll, any ndim (leading-collapse)."""
+        if v.ndim == 2:
+            return pltpu.roll(v, sh, axis=1)
+        flat = v.reshape(-1, v.shape[-1])
+        return pltpu.roll(flat, sh, axis=1).reshape(v.shape)
+
+    def _rdyn(v, sh):
+        """Dynamic collapsed row roll, any ndim; negative shifts via
+        the dynamic mod."""
+        flat = v.reshape(-1, v.shape[-1]) if v.ndim == 3 else v
+        out = pltpu.roll(flat, sh % flat.shape[0], axis=0)
+        return out.reshape(v.shape)
+
+    def bitonic_loop(key, tie, payloads):
+        """The same network, loop-rolled: one ``lax.fori_loop`` stage
+        body with dynamic rotate distances instead of ~log²(G)/2
+        unrolled stages.  Bitwise-identical results, ~50x less code.
+        At G=4096 the unrolled form's instruction footprint costs
+        ~20 µs/step even on UNfired iterations (plus 20-minute remote
+        compiles) — measured α=0.001 36.8 µs/step vs the 16.4 α=0
+        floor, dropping to 17.0 with this loop.  Dynamic rotates are
+        ~4x slower per exchange than static ones (fired cost 100 vs 22
+        µs/event), so the loop only wins where the code-size penalty
+        bites — G ≥ 4096; a phase-structured hybrid (static row stages
+        + per-phase lane loops) was tried and re-crossed the
+        instruction cliff (35.7 µs/step unfired).  Needs ≥ one full
+        vreg of lanes: dynamic lane rotates crash the remote compiler
+        below 128 lanes (validation/probe_mosaic8.py)."""
+        n_ph = G.bit_length() - 1
+        S = n_ph * (n_ph + 1) // 2
+
+        def body(_, carry):
+            key, tie, pays, logphase, logstep = carry
+            step = 1 << logstep
+            J = step * Np_e                 # lane distance of the pair
+            lsh = J % Wl                    # in-row component (0 if big)
+            rsh = J // Wl                   # cross-row component
+            bit0 = (kidx // step) % 2
+
+            def pxc(v):                     # partner values at kidx^step
+                plus = _rdyn(_ldyn(v, (Wl - lsh) % Wl), -rsh)
+                minus = _rdyn(_ldyn(v, lsh), rsh)
+                return jnp.where(bit0 == 0, plus, minus)
+
+            pk = pxc(key)
+            pt = pxc(tie) if tie is not None else None
+            pp = [pxc(v) for v in pays]
+            if tie is None:
+                less = key < pk
+            else:
+                less = (key < pk) | ((key == pk) & (tie < pt))
+            parity = (bit0 + kidx // (2 << logphase)) % 2
+            keep = (less.astype(jnp.int32) + parity) % 2 == 1
+            key = jnp.where(keep, key, pk)
+            if tie is not None:
+                tie = jnp.where(keep, tie, pt)
+            pays = [jnp.where(keep, v, q) for v, q in zip(pays, pp)]
+            nstep = logstep - 1
+            nphase = jnp.where(nstep < 0, logphase + 1, logphase)
+            nstep = jnp.where(nstep < 0, nphase, nstep)
+            return (key, tie, pays, nphase, nstep)
+
+        key, tie, payloads, _, _ = jax.lax.fori_loop(
+            0, S, body, (key, tie, payloads, jnp.int32(0), jnp.int32(0)))
+        return key, tie, payloads
+
+    bitonic = (bitonic_loop if Wl >= 128 and G >= 4096
+               else bitonic_unrolled)
 
     _, gid_s, vals_s = bitonic(ku, gid0, payloads)
 
