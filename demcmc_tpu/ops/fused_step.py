@@ -264,28 +264,30 @@ def _seg_leader_bcast(x, p, Np):
     return x
 
 
-def _roll_dict(x, Np):
-    """All within-group member views of ``x``: entry o is the pair of
-    global rolls such that member (g, (p+o) mod Np) of lane (g, p) is
-    ``lo`` when p+o < Np and ``hi`` when p+o >= Np."""
-    out = []
-    for o in range(Np):
-        lo = _roll(x, -o) if o else x            # lane c + o
-        hi = _roll(x, Np - o) if o else x        # lane c + o - Np
-        out.append((lo, hi))
+def _roll_dict(x, p, Np):
+    """All within-group member views of ``x``: entry ``o`` holds, at
+    every lane (g, q), the value of member (g, (q+o) mod Np) — the
+    lo/hi roll pair pre-merged by the static in-segment mask, so each
+    of the (up to six) gathers per sweep costs ONE select per offset
+    instead of re-merging the pair every time."""
+    out = [x]
+    for o in range(1, Np):
+        lo = _roll(x, -o)                        # lane c + o
+        hi = _roll(x, Np - o)                    # lane c + o - Np
+        out.append(jnp.where(p + o < Np, lo, hi))
     return out
 
 
 def _seg_gather(rolls, idx, p, Np):
     """Within-group dynamic gather: out[..., c] = x[..., g(c)·Np + idx[c]]
-    from a precomputed ``_roll_dict``.  ``idx``/``p`` are [R, Cf]."""
+    from a precomputed ``_roll_dict``.  ``idx``/``p`` are [R, Cf].
+    Running select over the member views — every lane matches exactly
+    one offset, so no arithmetic touches the values (any bit pattern
+    transports exactly)."""
     off = jnp.remainder(idx - p, Np)             # within-group offset
-    acc = None
-    for o in range(Np):
-        lo, hi = rolls[o]
-        pick = jnp.where(p + o < Np, lo, hi)
-        term = jnp.where(off == o, pick, 0.0)
-        acc = term if acc is None else acc + term
+    acc = rolls[0]
+    for o in range(1, Np):
+        acc = jnp.where(off == o, rolls[o], acc)
     return acc
 
 
@@ -1401,7 +1403,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             a = a + (a >= p)
             b = b + (b >= p)
 
-            rolls = _roll_dict(theta, Np)
+            rolls = _roll_dict(theta, p, Np)
             pm = _seg_gather(rolls, a, p, Np)      # [d, R, Cf]
             pn = _seg_gather(rolls, b, p, Np)
 
@@ -1434,12 +1436,10 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     u_bs = jnp.maximum(u_b, tiny) * tot
                     # count of group members with cdf < u — enumerate members
                     # via the roll dictionary of q
-                    q_rolls = _roll_dict(q, Np)
+                    q_rolls = _roll_dict(q, p, Np)
                     cnt = jnp.zeros((R, Cf), jnp.int32)
                     for o in range(Np):
-                        lo, hi = q_rolls[o]
-                        member = jnp.where(p + o < Np, lo, hi)
-                        cnt = cnt + (member < u_bs).astype(jnp.int32)
+                        cnt = cnt + (q_rolls[o] < u_bs).astype(jnp.int32)
                     bidx = jnp.minimum(cnt, Np - 1)
                     base = _seg_gather(rolls, bidx, p, Np)
                     bterm_sc[:] = g2 * (base - theta)
