@@ -31,7 +31,7 @@ import time
 
 MAX_DEV = int(os.environ.get("DEMCMC_SCALE_MAX_DEVICES", "8"))
 PLATFORM = os.environ.get("DEMCMC_SCALE_PLATFORM", "cpu")
-OUT_PATH = os.environ.get("DEMCMC_SCALING_OUT", "SCALING_r02.json")
+OUT_PATH = os.environ.get("DEMCMC_SCALING_OUT", "SCALING_r03.json")
 
 import jax  # noqa: E402
 
