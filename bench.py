@@ -129,7 +129,11 @@ def main():
     if fused_e:
         state_e = step_e.to_fused(state_e)
         sup_e = step_e.get_superstep()
-    n_ess = 1200
+    # long post-burnin stretch: the metric divides by wall time of ONE
+    # dispatch, and this harness's remote-TPU tunnel adds ~31 ms fixed
+    # per dispatch — at 1200 draws that overhead dominated (the chip
+    # sampled in ~3 ms), understating ESS/s ~5x
+    n_ess = 12000
     n_tot = de_e.burnin + n_ess
 
     if sup_e is not None:
