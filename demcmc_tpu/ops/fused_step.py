@@ -634,18 +634,25 @@ def _rank_cycle(ku, payloads, kidx, laneI, *, G, Gr_e, Np_e, na_f, dt):
             return jnp.where(laneI < j, fix, v1)
         return crow_circ(v, j // (Gr_e * Np_e))
 
+    # the flag chain is payload-independent: precompute each stage's
+    # arrival mask once and share it across the payload broadcasts
+    rfs = []
+    flag = flag0
+    s = 1
+    while s < G:
+        rf = kroll(flag, s)
+        rfs.append((s, rf))
+        flag = jnp.maximum(flag, rf)
+        s *= 2
+
     routed = []
     for v in vals_s:
         v1 = kroll(v, 1)                    # element k-1 everywhere
         # broadcast position N-1's value to all lanes (only position 0
         # consumes it)
-        val, flag = jnp.where(pick, v, jnp.zeros_like(v)), flag0
-        s = 1
-        while s < G:
-            rv, rf = kroll(val, s), kroll(flag, s)
-            val = jnp.where(rf == 1, rv, val)
-            flag = jnp.maximum(flag, rf)
-            s *= 2
+        val = jnp.where(pick, v, jnp.zeros_like(v))
+        for s, rf in rfs:
+            val = jnp.where(rf == 1, kroll(val, s), val)
         nv = jnp.where(kidx == 0, val, v1)
         routed.append(jnp.where(pos_f < na, nv, v))
 
@@ -655,7 +662,7 @@ def _rank_cycle(ku, payloads, kidx, laneI, *, G, Gr_e, Np_e, na_f, dt):
 
 
 def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
-                      spread=None, anchor=None):
+                      spread=None):
     """The reference migration (``src/migration.jl:11-91``) as an
     O(G log² G) bitonic rank network — the any-scale replacement for
     :func:`_mig_apply`, whose [G, G] one-hot rank/route matrices grow
@@ -687,17 +694,6 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
 
     rowI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 0)
     laneI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
-    if anchor is not None:
-        # ``anchor`` is a branch-opaque runtime zero (derived from an
-        # SMEM load inside the enclosing pl.when).  Adding it to the
-        # iota roots makes every mask/key chain data-depend on the
-        # region, so LICM cannot hoist the u/iota-derived machinery
-        # (~20 µs/step at 65k chains) out of the branch and pay it on
-        # every UNfired iteration too.  Runtime values are unchanged.
-        rowI = rowI + anchor
-        laneI = laneI + anchor
-        p = p + anchor
-
     # victim per group: Gumbel-max over -w (select_particle,
     # migration.jl:64-70; -inf weight -> +inf logit, picked first)
     s = gum - w
@@ -723,8 +719,6 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
                                Np_e=Np, na_f=na_f, dt=dt)
     else:
         T_sp, word = spread
-        if anchor is not None:
-            word = word + anchor
         # barrel-compress leader lanes: out[..., b] = x[..., b·Np] — the
         # destination-indexed shift s(b) = b·(Np−1) is linear, so the
         # LSB→MSB stage masks are exact iota expressions
@@ -780,6 +774,10 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
     (:func:`_mig_apply`), ``"sorted"`` = the bitonic rank network
     (:func:`_mig_apply_sorted`).  Same permutation, bitexact.
     """
+    if variant == "sorted" and not mig_sorted_ok(G, Np):
+        raise ValueError(f"sorted migration needs G//8 a power of two; "
+                         f"got G={G} (the XOR lattice breaks silently "
+                         f"otherwise)")
     C = G * Np
     R = _R
     Cf = C // R
@@ -1356,33 +1354,29 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
             @pl.when(fire_sc[0] != 0)
             def _():
-                # branch-opaque zero: an SMEM load the compiler cannot
-                # fold (fire is 0/1 at runtime; inside the region it is
-                # 1, so >>5 gives 0).  Anchoring the draw bits and (via
-                # the ``anchor`` kwarg) the iota roots pins the whole
-                # u/iota-derived machinery INSIDE the pl.when — without
-                # it, LICM hoists ~20 µs/step of masks, key chains and
-                # the Gumbel transform out of the branch and pays them
-                # on every unfired iteration (measured: α=0.001 ran at
-                # 36.7 µs/step vs the 16.1 α=0 floor at 65k chains)
-                anchor = fire_sc[0] >> 5
-                au = anchor.astype(jnp.uint32)
-                u_row = to_uni(u_bits | au)
-                na_f = (pltpu.bitcast((nb | au) % np.uint32(G - 1),
-                                      jnp.int32)
+                # NOTE on unfired cost: transforms of the draw bits and
+                # the migration machinery sit inside the region, but at
+                # big G the dominant unfired cost was the REGION'S
+                # INSTRUCTION FOOTPRINT (fetch for the branched-over
+                # body), not executed work — neither moving the Gumbel
+                # transform in here nor anchoring the iota roots on a
+                # branch-opaque zero changed it; the loop-rolled bitonic
+                # (bitonic_loop in _rank_cycle) is what fixed it.  See
+                # NOTES.md "instruction-footprint cliff".
+                u_row = to_uni(u_bits)
+                na_f = (pltpu.bitcast(nb % np.uint32(G - 1), jnp.int32)
                         .astype(dt) + np.float32(2.0))        # [1,1]
-                gum = -jnp.log(-jnp.log(jnp.maximum(
-                    to_uni(gum_bits | au), tiny)))
+                gum = -jnp.log(-jnp.log(jnp.maximum(to_uni(gum_bits),
+                                                    tiny)))
                 if mig_variant == "onehot":
                     nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_row, na_f,
-                                        gum, p + anchor, G=G, Np=Np,
-                                        Gr=Gr)
+                                        gum, p, G=G, Np=Np, Gr=Gr)
                 else:
                     sp = (None if mig_word_idx is None else
                           (mig_spread_T, ship_vals[mig_word_idx]))
                     nt, nw = _mig_apply_sorted(
                         theta_sc[:], w_sc[:], u_row, na_f, gum, p,
-                        G=G, Np=Np, Gr=Gr, spread=sp, anchor=anchor)
+                        G=G, Np=Np, Gr=Gr, spread=sp)
                 for i in range(d):
                     theta_sc[i] = nt[i]
                 w_sc[:] = nw

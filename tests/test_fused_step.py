@@ -287,7 +287,8 @@ def test_in_kernel_migration_multiset(interpret):
 
 
 @pytest.mark.parametrize("seed,G,Np", [(0, 64, 4), (1, 1024, 4),
-                                       (2, 128, 6), (3, 2048, 16)])
+                                       (2, 128, 6), (3, 2048, 16),
+                                       (4, 4096, 3)])
 def test_sorted_migration_matches_oracle(interpret, seed, G, Np):
     """The bitonic rank-network migration (the default in-kernel
     variant) computes EXACTLY the reference permutation — same oracle
@@ -295,7 +296,10 @@ def test_sorted_migration_matches_oracle(interpret, seed, G, Np):
     transport carries any bit pattern; +inf covers min-mode
     optimization scores) and non-power-of-two Np.  G=1024/Np=4 and
     G=2048/Np=16 take the compact (barrel-compress + sliced-sort +
-    scatter-widen) geometry; the others the strided one."""
+    scatter-widen) geometry with the UNROLLED network, G=4096/Np=3 the
+    compact geometry with the LOOP-ROLLED network (dynamic rotates —
+    the production path for the 65k-chain configs), the others the
+    strided one."""
     rng_ = np.random.default_rng(seed)
     d = 3
     theta = (rng_.standard_normal((G, Np, d)) * 1e3
@@ -549,9 +553,11 @@ def test_superstep_k_env_override_bitwise(interpret, monkeypatch):
 
 
 @pytest.mark.tpu
-def test_in_kernel_migration_bitexact_on_tpu():
+@pytest.mark.parametrize("variant", ["onehot", "sorted"])
+def test_in_kernel_migration_bitexact_on_tpu(variant):
     """On-chip run of the oracle test: catches MXU rounding (the one-hot
-    contractions must be exact at Precision.HIGHEST on real hardware)."""
+    contractions must be exact at Precision.HIGHEST on real hardware)
+    and real-lowering divergence of the sorted rank network."""
     if jax.default_backend() != "tpu":
         pytest.skip("needs the real TPU")
     rng_ = np.random.default_rng(3)
@@ -561,7 +567,8 @@ def test_in_kernel_migration_bitexact_on_tpu():
     w = rng_.standard_normal((G, Np)).astype(np.float32)
     u = rng_.random(G).astype(np.float32)
     gum = rng_.gumbel(size=(G, Np)).astype(np.float32)
-    got_t, got_w = _run_mig_kernel(theta, w, u, 17, gum, interpret=False)
+    got_t, got_w = _run_mig_kernel(theta, w, u, 17, gum, interpret=False,
+                                   variant=variant)
     want_t, want_w = _np_migration_oracle(theta, w, u, 17, gum)
     np.testing.assert_array_equal(got_t, want_t)
     np.testing.assert_array_equal(got_w, want_w)
@@ -590,8 +597,12 @@ def test_gaussian_batched_density_shift_invariant():
 def test_mig_gate_env_in_step_cache_key(interpret, monkeypatch):
     """A DEMCMC_MIG_GATE change between calls on the SAME model must
     rebuild the step — the big-G gate style is baked into the wrapped
-    step, so it lives in build_step's cache key (like DEMCMC_SUPER_K)."""
+    step, so it lives in build_step's cache key (like DEMCMC_SUPER_K).
+    (mig_sorted_ok is disabled so the big-G XLA gate path is actually
+    built — with the sorted default this test would otherwise pass
+    vacuously through the in-kernel path.)"""
     monkeypatch.setattr(fused_step, "MIG_MAX_G", 16)
+    monkeypatch.setattr(fused_step, "mig_sorted_ok", lambda G, Np: False)
     monkeypatch.setenv("DEMCMC_MIG_GATE", "cond")
     model, de = _make(alpha=0.5, burnin=100)      # G=32 > patched max
     spec = make_spec(model, de)
