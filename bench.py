@@ -73,15 +73,25 @@ def bench_model(model, de, n_iter=20000):
     # median-of-3 with full-state blocking: blocking on a single output
     # leaf once produced a physically impossible 144 µs reading for a
     # 5000-iteration scan over the async tunnel (min-of-3 then kept it);
-    # the median of full-tree-blocked reps is robust to both tails
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        s = run(s, n)
-        jax.block_until_ready(s)
-        times.append(time.perf_counter() - t0)
-    t = sorted(times)[1]
-    assert t > 1e-3, f"implausible timing {times} (async dispatch leak?)"
+    # the median of full-tree-blocked reps is robust to both tails.
+    # The tunnel's dispatch round-trip alone is ~31 ms — a rep below
+    # ~25 ms means block_until_ready returned without a real dispatch
+    # (observed once: a 20000-iteration scan "completing" in 2.7 ms);
+    # re-measure instead of reporting a fantasy number
+    for attempt in range(3):
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = run(s, n)
+            jax.block_until_ready(s)
+            times.append(time.perf_counter() - t0)
+        t = sorted(times)[1]
+        if t > 0.025:
+            break
+        import sys
+        print(f"# implausible timings {times}, re-measuring",
+              file=sys.stderr, flush=True)
+    assert t > 0.025, f"implausible timing {times} (async dispatch leak?)"
     return n_iter * de.n_chains / t
 
 
@@ -110,7 +120,9 @@ def main():
     model_65k, de_65k = gaussian.make(key=0, n_obs=50, n_groups=4096,
                                       Np=16, burnin=100, alpha=0.1,
                                       theta_snooker=0.1)
-    gauss_65k = bench_model(model_65k, de_65k, n_iter=5000)
+    # 20000 iterations like the other entries: at 5000 the ~31 ms
+    # dispatch tunnel still biased the ~31 µs step by ~17%
+    gauss_65k = bench_model(model_65k, de_65k)
 
     # ESS/s: posterior-quality throughput (BASELINE.json metric),
     # computed ENTIRELY on device — sampling scan + bulk-ESS of mu over
