@@ -30,11 +30,12 @@ BASE_GAUSSIAN = 1.0e6   # est. reference chain-steps/s (see module docstring)
 BASE_LBA = 2.0e5
 
 
-def bench_model(model, de, n_iter=20000):
+def bench_model(model, de, n_iter=100000):
     # n_iter amortizes the ~31 ms fixed per-dispatch tunnel overhead of
     # this harness's remote TPU (measured by two-length slope fits in
-    # round 2): at 2000 iterations the bias is +15.5 µs/step — larger
-    # than the step itself; at 20000 it is +1.6 µs.
+    # round 2): at 2000 iterations the bias was +15.5 µs/step — larger
+    # than the step itself; at 20000 it was +1.6 µs, which by round 3
+    # was ~50% of the 2 µs Gaussian step; at 100000 it is +0.3 µs.
     from demcmc_tpu.sampler import build_step, init_state, make_spec
 
     spec = make_spec(model, de)
