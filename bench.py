@@ -121,8 +121,9 @@ def main():
     model_65k, de_65k = gaussian.make(key=0, n_obs=50, n_groups=4096,
                                       Np=16, burnin=100, alpha=0.1,
                                       theta_snooker=0.1)
-    # 20000 iterations like the other entries: at 5000 the ~31 ms
-    # dispatch tunnel still biased the ~31 µs step by ~17%
+    # 100000 iterations (bench_model's default, like the other entries):
+    # at 5000 the ~31 ms dispatch tunnel still biased the ~31 µs step by
+    # ~17%; at 100000 the bias is ~0.3%
     gauss_65k = bench_model(model_65k, de_65k)
 
     # ESS/s: posterior-quality throughput (BASELINE.json metric),

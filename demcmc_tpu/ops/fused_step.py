@@ -673,10 +673,14 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
     (leader-lane uniform, group index) ascending; the first N ranks
     form the migration cycle (rank r's victim slot receives rank
     (r−1) mod N's victim); victims by Gumbel-max of −w, first index on
-    ties.  All value movement is roll+select (never arithmetic), so
-    every f32 bit pattern — including ±inf weights — transports
-    exactly; no −inf flag column is needed, and min-mode optimization
-    (+inf out-of-bounds scores) works too.
+    ties.  All RANK/ROUTE value movement is roll+select (never
+    arithmetic), so every f32 bit pattern — including ±inf weights —
+    transports exactly; no −inf flag column is needed, and min-mode
+    optimization (+inf out-of-bounds scores) works too.  One exception:
+    the victim group-broadcast (``vict``) uses an additive segmented
+    scan, so a ``-0.0`` payload canonicalizes to ``+0.0`` before
+    transport (matching the one-hot variant's behavior; ±inf/NaN are
+    unaffected).
 
     Two geometries (identical permutation, bitexact):
 

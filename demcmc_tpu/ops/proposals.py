@@ -13,15 +13,15 @@ offsets — per-call ``jax.random`` kernels were the dominant per-step cost
 at small populations).  Custom strategy callables still receive a PRNG key
 and may use ``jax.random`` directly.
 
-Semantic deltas vs the reference (see SURVEY.md §3.5), both MCMC-valid:
+Semantic delta vs the reference (see SURVEY.md §3.5), MCMC-valid:
 
 * Synchronous within-group updates: every particle proposes from the
   iteration-start population (ter Braak 2006) instead of the reference's
   sequential in-place sweep (``src/crossover.jl:12-17``).
-* ``resample`` partner draws are independent uniform (with-replacement)
-  over (past-iteration, chain) pairs; the reference samples without
-  replacement (``src/crossover.jl:113-124``) — collision probability is
-  O(n²/(iter·C)) and vanishes after a handful of iterations.
+
+(``resample`` partner draws match the reference exactly since round 4:
+without replacement over the flat (past-iteration, chain) space,
+``src/crossover.jl:113-124`` — see :func:`resample_flat_indices`.)
 """
 
 from __future__ import annotations
@@ -215,6 +215,59 @@ def sample_current(ctx: ProposalContext, key, n: int, exclude_self: bool,
     return _gather_partners(theta, idx)
 
 
+def distinct_flat_draws(draw_fn, n: int):
+    """``n`` DISTINCT uniform draws over a flat index space via the O(1)
+    shift trick (shared with :func:`_distinct_indices`'s in-group form):
+    ``draw_fn(k)`` must return a uniform draw over ``span - k`` (any
+    integer dtype supporting ``>=``/min/max — uint32 for resample's flat
+    (rows·chains) space).  Draw k bumps past each earlier pick in
+    ascending order, giving exactly uniform ordered without-replacement
+    tuples.  Returns a list of ``n`` arrays."""
+    picks = []
+    sorted_picks = None
+    for k in range(n):
+        a = draw_fn(k)
+        if k:
+            for j in range(k):
+                a = a + (a >= sorted_picks[j]).astype(a.dtype)
+        picks.append(a)
+        if k + 1 < n:
+            if sorted_picks is None:
+                sorted_picks = [a]
+            else:
+                out, cur = [], a
+                for j in range(k):
+                    s = sorted_picks[j]
+                    out.append(jnp.minimum(cur, s))
+                    cur = jnp.maximum(cur, s)
+                out.append(cur)
+                sorted_picks = out
+    return picks
+
+
+def resample_flat_indices(draws, n: int, count, C: int, shape,
+                          replace: bool = False):
+    """The resample strategy's (row, chain) index draws: uniform over the
+    flat ``count·C`` space of (past-iteration, chain) pairs, WITHOUT
+    replacement by default — matching the reference's
+    ``sample(CartesianIndices(...), n; replace)``
+    (``src/crossover.jl:113-124``).  The flat space is addressed in
+    uint32 (a history buffer with ≥ 2³² entries cannot exist — it would
+    not fit in HBM), so no int32 overflow at 65k chains × 32k rows.
+    Returns ``(row [n,*shape] int32, chain [n,*shape] int32)``.  Shared
+    by the XLA path and the fused kernel's index precomputation."""
+    span = count.astype(jnp.uint32) * jnp.uint32(C)
+    if replace:
+        flats = [draws.randuint(shape, span) for _ in range(n)]
+    else:
+        flats = distinct_flat_draws(
+            lambda k: draws.randuint(shape, span - jnp.uint32(k)), n)
+    flat = jnp.stack(flats)                            # [n, *shape] uint32
+    row = (flat // jnp.uint32(C)).astype(jnp.int32)
+    chain = (flat % jnp.uint32(C)).astype(jnp.int32)
+    return row, chain
+
+
 def resample(ctx: ProposalContext, key, n: int, exclude_self: bool,
              replace: bool = False):
     """DE-MCz partners: uniform draws from the history of past states of
@@ -222,11 +275,10 @@ def resample(ctx: ProposalContext, key, n: int, exclude_self: bool,
     ``src/crossover.jl:113-124``).  Row range is the ``iter-1`` stored rows
     (prior-seeded ``n_initial`` rows included).  Returns ``[n, G, Np, d]``.
 
-    ``replace`` is accepted for slot-signature parity; draws are always
-    independent (with replacement) here — the documented delta vs the
-    reference's without-replacement ``StatsBase.sample``: the collision
-    probability of n≤3 draws over (rows·chains) ≥ n_initial·C pairs is
-    O(n²/(rows·C)) and vanishes as the history grows (see NOTES.md).
+    Like the reference's ``StatsBase.sample(...; replace)`` over the flat
+    (past-iteration, chain) index space, the n draws are WITHOUT
+    replacement unless ``replace=True`` (the built-in proposals always
+    pass False) — see :func:`resample_flat_indices`.
     """
     if ctx.history is None:
         raise ValueError("sample=resample requires a history buffer; "
@@ -236,11 +288,8 @@ def resample(ctx: ProposalContext, key, n: int, exclude_self: bool,
     G, Np = ctx.theta.shape[:2]
     draws = ctx.draws if ctx.draws is not None else rng.KeyDraws(key)
     count = jnp.maximum(ctx.iteration - 1, 1)          # rows available
-    # row and chain drawn SEPARATELY (identical joint distribution):
-    # a single randint over count*C would overflow int32 past 2^31
-    # (65k chains x 32k iterations) and carry span/2^32 modulo bias
-    row = draws.randint((n, G, Np), 0, count)
-    chain = draws.randint((n, G, Np), 0, C)
+    row, chain = resample_flat_indices(draws, n, count, C, (G, Np),
+                                       replace)
     return ctx.history[row, chain]                     # [n, G, Np, d]
 
 

@@ -173,6 +173,16 @@ class Pool:
         span = jnp.uint32(hi - lo)
         return (self._take(shape) % span).astype(jnp.int32) + lo
 
+    def randuint(self, shape, span):
+        """Uniform uint32 draw in ``[0, span)`` with a possibly TRACED
+        ``span`` (uint32, broadcastable to ``shape``) — the full-width
+        variant :mod:`demcmc_tpu.ops.proposals` uses for resample's flat
+        (row·chains) index space, which can exceed int31.  Modulo bias
+        ≤ span·2⁻³² relative, same class as :meth:`randint`."""
+        if self._row_words(tuple(shape)) is None:
+            return self.scalars.randuint(shape, span)
+        return self._take(shape) % span
+
     def bernoulli(self, shape, p):
         return self.uniform(shape) <= p
 
@@ -221,6 +231,10 @@ class CountingDraws:
             * self._row_cols(shape)
         return jnp.zeros(shape, jnp.int32) + lo
 
+    def randuint(self, shape, span):
+        self.words += self._row_cols(shape)
+        return jnp.zeros(shape, jnp.uint32)
+
     def bernoulli(self, shape, p):
         self.words += self._row_cols(shape)
         return jnp.zeros(shape, bool)
@@ -252,6 +266,9 @@ class KeyDraws:
 
     def randint(self, shape, lo, hi):
         return jax.random.randint(self._next(), shape, lo, hi, jnp.int32)
+
+    def randuint(self, shape, span):
+        return jax.random.bits(self._next(), shape, jnp.uint32) % span
 
     def bernoulli(self, shape, p):
         return self.uniform(shape) <= p

@@ -905,7 +905,7 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     over devices), ``checkpoint_every/checkpoint_path`` (periodic carry
     snapshots), ``state`` (resume from a saved carry), ``return_state``,
     ``thin`` (keep every thin-th draw; ``n_iter`` and ``burnin`` must be
-    divisible by it), ``monitor`` (stream running chain-level R̂ / rough
+    divisible by it), ``monitor`` (stream a running split-R̂ / rough
     ESS over post-burnin draws as they come off the device; with
     ``progress=True`` the live ``R̂max`` shows in the progress line, and
     the :class:`~demcmc_tpu.utils.monitor.ConvergenceMonitor` is attached

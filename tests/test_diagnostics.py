@@ -189,22 +189,52 @@ def test_ess_device_matches_numpy():
 # streaming convergence monitor (utils/monitor.py)
 # ---------------------------------------------------------------------------
 
-def test_monitor_rhat_matches_batch_formula():
-    """Chunked streaming R̂ == the classic (non-split) Gelman-Rubin
-    computed on the whole array at once."""
+def test_monitor_rhat_matches_split_rhat():
+    """Chunked streaming split-R̂ matches the post-hoc
+    diagnostics.split_rhat to 1e-2 on an AR(1) fixture (the VERDICT r3
+    acceptance criterion), on both stationary and trending chains."""
+    from demcmc_tpu import diagnostics
     from demcmc_tpu.utils.monitor import ConvergenceMonitor
     rng = np.random.default_rng(0)
-    T, C, d = 400, 6, 3
-    x = rng.standard_normal((T, C, d)) + rng.normal(size=(1, C, 1)) * 0.3
+    T, C, d = 1200, 6, 3
+    # AR(1) draws (rho=0.7) with per-chain offsets; param 2 gets a shared
+    # within-chain TREND, which only a split statistic can flag
+    x = np.empty((T, C, d))
+    x[0] = rng.standard_normal((C, d))
+    for t in range(1, T):
+        x[t] = 0.7 * x[t - 1] + np.sqrt(1 - 0.49) * rng.standard_normal(
+            (C, d))
+    x += rng.normal(size=(1, C, 1)) * 0.2
+    x[:, :, 2] += np.linspace(0.0, 3.0, T)[:, None]
     mon = ConvergenceMonitor()
-    for lo in range(0, T, 64):                 # uneven chunking
-        mon.update(x[lo:lo + 64])
-    # batch reference
-    mean = x.mean(axis=0)                      # [C, d]
-    W = x.var(axis=0, ddof=1).mean(axis=0)     # [d]
-    B_over_n = mean.var(axis=0, ddof=1)
-    want = np.sqrt(((T - 1) / T * W + B_over_n) / W)
-    np.testing.assert_allclose(mon.rhat(), want, rtol=1e-10)
+    for lo in range(0, T, 137):                # uneven chunking
+        mon.update(x[lo:lo + 137])
+    got = mon.rhat()
+    want = np.array([diagnostics.split_rhat(x[:, :, k]) for k in range(d)])
+    np.testing.assert_allclose(got, want, atol=1e-2)
+    # the trend is actually flagged (split-R̂ >> 1) even though every
+    # chain drifts together (chain-level R̂ would sit near 1)
+    assert got[2] > 1.15
+    mean = x[:, :, 2].mean(axis=0)
+    W = x[:, :, 2].var(axis=0, ddof=1).mean()
+    chain_level = np.sqrt(((T - 1) / T * W + mean.var(ddof=1)) / W)
+    assert chain_level < got[2] - 0.1
+
+
+def test_monitor_bucket_merging_keeps_split_accuracy():
+    """Long runs exceed _MAX_BUCKETS and merge pairwise; the split point
+    stays within one bucket of n/2 and the statistic stays accurate."""
+    from demcmc_tpu import diagnostics
+    from demcmc_tpu.utils import monitor as monitor_mod
+    rng = np.random.default_rng(3)
+    T, C = 4 * monitor_mod._MAX_BUCKETS + 37, 4
+    x = rng.standard_normal((T, C, 1)).cumsum(axis=0) * 0.01
+    mon = monitor_mod.ConvergenceMonitor()
+    for lo in range(0, T, 250):
+        mon.update(x[lo:lo + 250])
+    assert len(mon._bn) <= monitor_mod._MAX_BUCKETS + 1
+    want = diagnostics.split_rhat(x[:, :, 0])
+    np.testing.assert_allclose(mon.rhat()[0], want, atol=1e-2)
 
 
 def test_monitor_ess_sane_on_iid_and_correlated():

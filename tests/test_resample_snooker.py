@@ -64,6 +64,34 @@ def test_resample_requires_np3():
         dm.DE(Np=2, sample="resample", n_initial=10)
 
 
+def test_resample_draws_without_replacement():
+    """resample's (row, chain) draws are distinct within each n-tuple —
+    matching the reference's StatsBase.sample(...; replace=false) over
+    the flat index space (src/crossover.jl:113-124) — and each draw is
+    marginally uniform."""
+    from demcmc_tpu import rng as rng_mod
+    from demcmc_tpu.ops import proposals
+    draws = rng_mod.KeyDraws(jax.random.PRNGKey(0))
+    # tiny flat space (2 rows x 3 chains = 6 pairs) maximizes collision
+    # pressure; 3 draws per cell over 2000 cells
+    row, chain = proposals.resample_flat_indices(
+        draws, 3, jnp.asarray(2, jnp.int32), 3, (2000,))
+    flat = np.asarray(row) * 3 + np.asarray(chain)    # [3, 2000]
+    assert flat.min() >= 0 and flat.max() < 6
+    assert (flat[0] != flat[1]).all()
+    assert (flat[0] != flat[2]).all()
+    assert (flat[1] != flat[2]).all()
+    for k in range(3):                   # marginal uniformity per slot
+        counts = np.bincount(flat[k], minlength=6)
+        assert counts.min() > 2000 / 6 * 0.7
+        assert counts.max() < 2000 / 6 * 1.3
+    # replace=True really is with replacement (collisions appear)
+    row_r, chain_r = proposals.resample_flat_indices(
+        draws, 3, jnp.asarray(2, jnp.int32), 3, (2000,), replace=True)
+    flat_r = np.asarray(row_r) * 3 + np.asarray(chain_r)
+    assert (flat_r[0] == flat_r[1]).any()
+
+
 def test_history_grows_and_fills():
     from demcmc_tpu.sampler import init_state, make_spec, build_step, \
         run_scan, _grow_history
