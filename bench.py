@@ -36,10 +36,13 @@ def bench_model(model, de, n_iter=100000):
     # round 2): at 2000 iterations the bias was +15.5 µs/step — larger
     # than the step itself; at 20000 it was +1.6 µs, which by round 3
     # was ~50% of the 2 µs Gaussian step; at 100000 it is +0.3 µs.
-    from demcmc_tpu.sampler import build_step, init_state, make_spec
+    from demcmc_tpu.sampler import (_grow_history, build_step, init_state,
+                                    make_spec)
 
     spec = make_spec(model, de)
-    state = init_state(model, de, spec, key=0)
+    # +512 margin: the superstep path rounds n_iter UP to a whole
+    # launch count below, and resample-history writes must stay in-buffer
+    state = _grow_history(init_state(model, de, spec, key=0), n_iter + 512)
     step = build_step(model, de, spec)
     sup = None
     if getattr(step, "fused", False):      # whole-step Pallas kernel path
@@ -96,6 +99,19 @@ def bench_model(model, de, n_iter=100000):
     return n_iter * de.n_chains / t
 
 
+def pct_of_floor(model, de, rate):
+    """Measured throughput as a fraction of the hardware floor (see
+    demcmc_tpu/utils/roofline.py: VPU issue-rate + HBM-traffic floors,
+    conservative — the fired-migration body counts fully)."""
+    from demcmc_tpu.sampler import make_spec
+    from demcmc_tpu.utils import roofline
+    fl = roofline.fused_floor(model, de, make_spec(model, de))
+    if fl is None or not rate:
+        return None, None
+    measured_us = de.n_chains / rate * 1e6     # per-iteration wall
+    return round(fl["floor_us"] / measured_us, 4), fl
+
+
 def main():
     from demcmc_tpu.models import gaussian, lba
 
@@ -105,10 +121,12 @@ def main():
     model_g, de_g = gaussian.make(key=0, n_obs=50, n_groups=G, Np=Np,
                                   burnin=100)
     gauss = bench_model(model_g, de_g)
+    gauss_pct, gauss_fl = pct_of_floor(model_g, de_g, gauss)
 
     model_l, de_l = lba.make(key=0, n_trials=100, n_groups=G, Np=Np,
                              burnin=100)
     lba_tp = bench_model(model_l, de_l)
+    lba_pct, lba_fl = pct_of_floor(model_l, de_l, lba_tp)
 
     # north-star check: >= 10^4 chains stepped in parallel
     model_16k, de_16k = gaussian.make(key=0, n_obs=50, n_groups=1024,
@@ -125,6 +143,18 @@ def main():
     # at 5000 the ~31 ms dispatch tunnel still biased the ~31 µs step by
     # ~17%; at 100000 the bias is ~0.3%
     gauss_65k = bench_model(model_65k, de_65k)
+
+    # DE-MCz flagship shape (multivariate_normal_tests.jl:49-69): 30-dim
+    # MVN, Np=3, n_groups=1, snooker 0.1 + resample — the reference's
+    # hardest statistical config, fused since round 4 (the small-C
+    # regime where launch overhead dominates).  100k iterations is the
+    # VMEM ceiling for the in-kernel history (~37 MB packed), so the
+    # ~31 ms tunnel dispatch is a LARGER share here than in the long
+    # scans above — the number is conservatively understated.
+    from demcmc_tpu.models import mvnormal
+    model_r, de_r = mvnormal.make(d=30, n_obs=100, key=1, burnin=2000)
+    mvn_res_rate = bench_model(model_r, de_r, n_iter=100000)
+    mvn_res_iters = mvn_res_rate / de_r.n_chains
 
     # ESS/s: posterior-quality throughput (BASELINE.json metric),
     # computed ENTIRELY on device — sampling scan + bulk-ESS of mu over
@@ -195,8 +225,21 @@ def main():
                               "docstring), not a measurement"),
         "gaussian_chain_steps_per_s": round(gauss, 1),
         "lba_chain_steps_per_s": round(lba_tp, 1),
+        # roofline grounding (utils/roofline.py): measured step time vs
+        # the chip's demonstrated VPU issue-rate / HBM-traffic floor —
+        # "fast" judged against the hardware, not just round N-1
+        "gaussian_pct_of_floor": gauss_pct,
+        "gaussian_floor_us_per_iter": (None if gauss_fl is None else
+                                       round(gauss_fl["floor_us"], 3)),
+        "lba_pct_of_floor": lba_pct,
+        "lba_floor_us_per_iter": (None if lba_fl is None else
+                                  round(lba_fl["floor_us"], 3)),
         "gaussian_16384_chains_steps_per_s": round(gauss_16k, 1),
         "gaussian_65536_chains_steps_per_s": round(gauss_65k, 1),
+        # DE-MCz resample flagship (Np=3 x 30-dim MVN + snooker):
+        # iterations/s is the relevant figure at 3 chains
+        "mvn_resample_iters_per_s": round(mvn_res_iters, 1),
+        "mvn_resample_chain_steps_per_s": round(mvn_res_rate, 1),
         "gaussian_ess_per_s_on_device": round(float(ess_per_s), 1),
         "n_chains": N_CHAINS,
         "device": str(jax.devices()[0].platform),

@@ -261,6 +261,19 @@ class DEModel:
     is never re-evaluated (it is carried in the sampler state), which is
     exactly the pseudo-marginal construction."""
 
+    noise_shape: Optional[Tuple] = None
+    """Fused-path noise panel for ``stochastic`` models: when set,
+    ``loglike_batched`` must accept a keyword ``noise=`` holding FRESH
+    uniform(0,1) draws of shape ``noise_shape + cs`` (chains-last like
+    the parameters), and the whole-step Pallas kernel supplies them from
+    the hardware PRNG on every evaluation — the in-kernel equivalent of
+    the per-evaluation ``key``.  The simulation must be re-expressed as
+    a deterministic transform of these uniforms (e.g. inverse-CDF
+    sampling); any unbiasedness-preserving reformulation keeps the
+    pseudo-marginal construction valid.  Keep ``noise_shape`` modest and
+    transform it in chunks: in-kernel intermediates beyond ~1 MiB make
+    the build fall back to the XLA step."""
+
     def __post_init__(self):
         if self.loglike is None:
             raise ValueError("loglike is required")

@@ -47,23 +47,77 @@ def loglike_abc(data, theta, *, key=None, n_sim=10_000):
     return jnp.log(hit)
 
 
+def loglike_abc_batched(data, theta, *, noise=None, n_sim=10_000):
+    """Chains-last pseudo-marginal ABC density for the fused TPU kernel
+    (consumes the ``DEModel.noise_shape`` uniform panel): simulation
+    counts are drawn by INVERSE-CDF over Binomial(N, θ) — one uniform
+    per simulation instead of N Bernoullis — so counts are exactly
+    Binomial(N, θ) distributed and the hit-frequency estimator has the
+    same law as :func:`loglike_abc`'s (the pseudo-marginal chain targets
+    the same posterior).  Simulations are transformed in chunks to keep
+    in-kernel intermediates within the vector register file."""
+    import numpy as np
+    N = int(data["N"])
+    k = data["k"]
+    theta = jnp.asarray(theta)
+    # CDF_j(θ) = Σ_{i<=j} C(N,i) θ^i (1-θ)^{N-i}, j = 0..N-1; integer
+    # powers keep the boundary cases exact (θ=0 -> count 0, θ=1 -> N)
+    from scipy.special import comb
+    one_m = 1.0 - theta
+    cdfs = []
+    cdf = None
+    for j in range(N):
+        pmf_j = float(comb(N, j)) * theta ** j * one_m ** (N - j)
+        cdf = pmf_j if cdf is None else cdf + pmf_j
+        cdfs.append(cdf)
+    n_sim_n = noise.shape[0]
+    cs_elems = max(int(np.prod(noise.shape[1:])), 1)
+    CH = max(1, (1 << 16) // cs_elems)          # ≤ 256 KiB f32 chunks
+    hits = None
+    for s0 in range(0, n_sim_n, CH):
+        u = noise[s0:s0 + CH]                   # [CH, *cs]
+        cnt = None
+        for cj in cdfs:                         # count = Σ_j 1{u > CDF_j}
+            ind = (u > cj).astype(theta.dtype)
+            cnt = ind if cnt is None else cnt + ind
+        h = jnp.sum((cnt == jnp.asarray(k, theta.dtype))
+                    .astype(theta.dtype), axis=0)
+        hits = h if hits is None else hits + h
+    return jnp.log(hits / float(n_sim_n))
+
+
+def prior_loglike_batched(theta):
+    return jnp.zeros(theta.shape, theta.dtype)   # Beta(1,1) log pdf = 0
+
+
 def make_model(N: int, k: int, abc: bool = False,
-               fresh_noise: bool = False) -> DEModel:
+               fresh_noise: bool = False, n_sim: int = 10_000) -> DEModel:
     """``fresh_noise=True`` (ABC only) re-simulates with a fresh key every
     likelihood evaluation — pseudo-marginal mode, the reference example's
-    global-RNG semantics (``Examples/Binomial_ABC.jl:16-23``)."""
+    global-RNG semantics (``Examples/Binomial_ABC.jl:16-23``).  That
+    configuration also declares the fused-kernel noise panel
+    (``noise_shape=(n_sim,)``) with the inverse-CDF batched density."""
+    import functools
     data = {"N": N, "k": k}
-    return DEModel(loglike=loglike_abc if abc else loglike,
+    pm = abc and fresh_noise
+    return DEModel(loglike=(functools.partial(loglike_abc, n_sim=n_sim)
+                            if abc else loglike),
                    prior_loglike=prior_loglike,
                    sample_prior=sample_prior, names=NAMES, data=data,
-                   stochastic=abc and fresh_noise)
+                   stochastic=pm,
+                   loglike_batched=(functools.partial(
+                       loglike_abc_batched, n_sim=n_sim) if pm else None),
+                   prior_loglike_batched=(prior_loglike_batched
+                                          if pm else None),
+                   noise_shape=(n_sim,) if pm else None)
 
 
 def make(N=10, k=None, key=0, abc=False, fresh_noise=False, Np=4,
-         burnin=1000, **de_kwargs):
+         burnin=1000, n_sim=10_000, **de_kwargs):
     if k is None:
         k = int(jax.random.binomial(jax.random.PRNGKey(key), N, 0.5))
-    model = make_model(N, k, abc=abc, fresh_noise=fresh_noise)
+    model = make_model(N, k, abc=abc, fresh_noise=fresh_noise,
+                       n_sim=n_sim)
     de = DE(bounds=BOUNDS, burnin=burnin, Np=Np, **de_kwargs)
     return model, de
 

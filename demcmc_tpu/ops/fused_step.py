@@ -126,9 +126,10 @@ def supported(model, de, spec) -> bool:
                   proposal_ops.variable_gamma, "random_gamma",
                   "fixed_gamma", "variable_gamma"):
         return False
-    if de.sample not in (proposal_ops.sample_current, "sample"):
+    if de.sample not in (proposal_ops.sample_current, "sample",
+                         proposal_ops.resample, "resample"):
         return False
-    if de.uses_resample:
+    if de.uses_resample and not _resample_supported(de):
         return False              # snooker IS supported (in-kernel branch)
     if de.blocks is not None and _blocking_const(de) is None:
         return False              # dynamic blocking_on gating: XLA cond
@@ -146,8 +147,16 @@ def supported(model, de, spec) -> bool:
             return False
     else:
         return False
-    if getattr(model, "stochastic", False) or spec.has_int:
-        return False
+    if getattr(model, "stochastic", False):
+        # pseudo-marginal models fuse when they declare a uniform noise
+        # panel (DEModel.noise_shape): the kernel supplies fresh
+        # hardware-PRNG uniforms to loglike_batched(noise=...) on every
+        # evaluation.  Without the panel the density draws jax.random
+        # noise from a key — not replayable in-kernel — so: XLA path.
+        if getattr(model, "noise_shape", None) is None:
+            return False
+        if model.chunk_obs:
+            return False        # chunked data + whole-panel noise: XLA
     if model.loglike_batched is None or (
             de.is_mh and model.prior_loglike_batched is None):
         # without a chains-last batched density the in-kernel evaluation
@@ -158,11 +167,97 @@ def supported(model, de, spec) -> bool:
     if jnp.dtype(de.dtype) != jnp.float32:
         return False
     C = de.n_groups * de.Np
-    if C % _R != 0 or (C // _R) % de.Np != 0:
+    if not de.uses_resample and (C % _R != 0 or (C // _R) % de.Np != 0):
         return False                   # groups must not straddle sublane rows
     if de.Np < 3 or de.Np > 64:        # need 2 distinct non-self partners;
         return False                   # roll dictionary is 2·Np-1 copies
     return True
+
+
+# ---------------------------------------------------------------------------
+# DE-MCz (resample-from-history) fused path: layout + gates
+# ---------------------------------------------------------------------------
+# Resample configurations are SMALL by construction (the reference docs
+# recommend Np=3, n_groups=1, crossover.jl:113-124 / structs.jl:37-43):
+# the per-step cost is pure launch/dispatch overhead, exactly what the
+# fused kernel eliminates.  The layout pads the population to one full
+# [d, 8, 128] vreg block — the C real chains sit in sublane row 0 as the
+# row-major prefix (chain c <-> (c // 128, c % 128), so the standard
+# packing convention holds) and the 7 pad rows + pad lanes are garbage
+# that computes for free (the vreg is the unit of VPU work either way)
+# and is never read: partner values come from the HISTORY, the softmax
+# base-select is group-local to row-0 lanes, and outputs/history writes
+# slice the real prefix.
+#
+# The history ring ([H, C, d] in the carry) packs into lane-dense slabs
+# [S, d, 128]: slab s holds B = 128 // C consecutive rows side by side
+# (row t, chain c -> slab t // B, lane (t % B)·C + c), DMA'd HBM->VMEM
+# once per K-iteration launch and written back at the end.  Partner
+# (row, chain) index draws are precomputed in XLA per launch — the same
+# without-replacement draws as the XLA path (resample_flat_indices, a
+# pure function of (key, iteration)) — and enter the kernel through SMEM
+# as packed slab·128+lane int32 scalars, so the in-kernel gather is a
+# dynamic slab load + one-hot lane reduction per (chain, slot).
+
+RESAMPLE_CF = 128          # padded lane width (population and history)
+RESAMPLE_MAX_C = 128       # real chains must fit one sublane row
+RESAMPLE_S_GRAN = 64       # slab-count rounding granule (compile reuse)
+RESAMPLE_HIST_VMEM = 48 * 1024 * 1024   # history VMEM budget (bytes)
+RESAMPLE_SMEM_IDX = 16384  # index words per launch (SMEM budget)
+
+
+def _resample_supported(de) -> bool:
+    """Fused-path gate for resample (DE-MCz) configurations."""
+    C = de.n_groups * de.Np
+    if C > RESAMPLE_MAX_C:
+        return False               # all real chains must fit sublane row 0
+    if de.n_groups > 1 and float(de.alpha) > 0.0:
+        return False               # migration over the padded layout: XLA
+    if de.blocks is not None:
+        return False               # blocked resample sweeps: XLA path
+    if not de.is_mh:
+        return False               # optimization + resample: XLA path
+    if de.n_initial < 1:
+        return False
+    return True
+
+
+def resample_layout(de):
+    """(C_real, B, Cf) of the padded resample layout: C_real chains in
+    sublane row 0, history slabs of B rows across Cf=128 lanes."""
+    C_real = de.n_groups * de.Np
+    return C_real, RESAMPLE_CF // C_real, RESAMPLE_CF
+
+
+def resample_hist_slabs(de, H: int) -> int:
+    """Slab count for an ``H``-row history, rounded up to the compile-
+    reuse granule (pad slabs are zero and never read: row draws are
+    bounded by ``iteration - 1 < H``)."""
+    _, B, _ = resample_layout(de)
+    S = -(-H // B)
+    return -(-S // RESAMPLE_S_GRAN) * RESAMPLE_S_GRAN
+
+
+def resample_hist_fits(de, spec, H: int) -> bool:
+    """Does the packed history fit the kernel's VMEM budget?"""
+    S = resample_hist_slabs(de, H)
+    return S * spec.dim * RESAMPLE_CF * 4 <= RESAMPLE_HIST_VMEM
+
+
+def resample_super_k(de) -> int:
+    """Iterations per launch on the resample path.  Larger than the
+    plain SUPER_K: each launch pays a full history DMA in/out, so K
+    amortizes it (18 MB at the reference's flagship MVN config ≈ 45 µs
+    per launch ≈ 0.18 µs/iter at K=256).  Bounded by the SMEM budget
+    for the per-iteration partner-index words.  ``DEMCMC_SUPER_K``
+    overrides."""
+    env = os.environ.get("DEMCMC_SUPER_K")
+    if env is not None:
+        return int(env)
+    C = de.n_groups * de.Np
+    n_slots = 2 + (3 if float(de.theta_snooker) > 0.0 else 0)
+    k = RESAMPLE_SMEM_IDX // (n_slots * C)
+    return max(16, min(256, (k // 16) * 16))
 
 
 def _blocking_const(de):
@@ -195,6 +290,8 @@ def sharded_supported(model, de, spec, mesh) -> bool:
     per-device configuration."""
     if mesh is None or len(mesh.axis_names) != 1:
         return False
+    if de.uses_resample:
+        return False       # history gathers are cross-shard: GSPMD path
     n_dev = int(mesh.devices.size)
     if n_dev == 1:
         return supported(model, de, spec)
@@ -423,15 +520,20 @@ def _mig_apply(theta, w, u_row, na_f, gum, p, *, G, Np, Gr):
 
 def mig_sorted_ok(G, Np) -> bool:
     """Static predicate: can migration run in-kernel via the bitonic
-    rank network (:func:`_mig_apply_sorted`)?  The row-major element
-    XOR lattice needs ``Gr = G // 8`` (groups per sublane row) to be a
-    power of two, so in-row exchanges stay in-row and ``G = 8·Gr`` is a
-    power-of-two network size.  ``Np`` may be anything (exchanges move
-    whole Np-lane blocks by ±step·Np lane rolls)."""
-    if G % _R:
-        return False
+    rank network (:func:`_mig_apply_sorted`)?  Power-of-two ``Gr = G//8``
+    (groups per sublane row) runs the native row-major XOR lattice;
+    ANY other Gr runs the COMPACT geometry padded to the next
+    power-of-two lattice with +inf-keyed virtual elements (round 4) —
+    so every fused layout (G is always a multiple of 8 there) migrates
+    in-kernel, at any size and in min-mode too.  ``Np`` may be anything
+    (strided exchanges move whole Np-lane blocks by ±step·Np lane
+    rolls; compact exchanges move single leader lanes)."""
+    return G % _R == 0 and G // _R >= 1
+
+
+def _gr_pow2(G) -> bool:
     Gr = G // _R
-    return Gr >= 1 and (Gr & (Gr - 1)) == 0
+    return (Gr & (Gr - 1)) == 0
 
 
 # compact-sort threshold: once Gr (groups per sublane row) is a whole
@@ -740,11 +842,34 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
 
         ku_c = compress(u_row)
         tv_c, wv_c = compress(tv), compress(wv)
-        rowC = jax.lax.broadcasted_iota(jnp.int32, (R, Gr), 0)
-        laneC = jax.lax.broadcasted_iota(jnp.int32, (R, Gr), 1)
-        kidx_c = rowC * Gr + laneC
-        t_r, w_r = _rank_cycle(ku_c, [tv_c, wv_c], kidx_c, laneC, G=G,
-                               Gr_e=Gr, Np_e=1, na_f=na_f, dt=dt)
+        # non-power-of-two Gr: pad the compact arrays to the next
+        # power-of-two lattice with +inf-keyed VIRTUAL elements — they
+        # sort past every real group (uniform keys < 1 < inf), the cycle
+        # only touches the first N ≤ G real ranks, and the gid unsort
+        # returns them to the pad lanes, which are then sliced off.
+        # Real-element tie-break order is preserved: r·Gr2+b is monotone
+        # in (r, b) exactly like r·Gr+b.  Lane-concat of [narrow, pad]
+        # is a verified-safe construct (validation/probe_mosaic*).
+        Gr2 = 1 << (Gr - 1).bit_length()         # next power of two
+
+        def lane_pad(x, fill):
+            if Gr2 == Gr:
+                return x
+            flat = x.reshape(-1, Gr)
+            padv = jnp.full((flat.shape[0], Gr2 - Gr), fill, x.dtype)
+            return jnp.concatenate([flat, padv], axis=1).reshape(
+                x.shape[:-1] + (Gr2,))
+
+        ku_c = lane_pad(ku_c, np.float32(np.inf))
+        tv_c, wv_c = lane_pad(tv_c, 0.0), lane_pad(wv_c, 0.0)
+        rowC = jax.lax.broadcasted_iota(jnp.int32, (R, Gr2), 0)
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (R, Gr2), 1)
+        kidx_c = rowC * Gr2 + laneC
+        t_r, w_r = _rank_cycle(ku_c, [tv_c, wv_c], kidx_c, laneC,
+                               G=_R * Gr2, Gr_e=Gr2, Np_e=1, na_f=na_f,
+                               dt=dt)
+        if Gr2 != Gr:
+            t_r, w_r = t_r[..., :Gr], w_r[..., :Gr]
 
         def widen(v_c):
             flat = v_c.reshape(-1, Gr)       # leading-collapse: 2-D concat
@@ -779,9 +904,9 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
     (:func:`_mig_apply_sorted`).  Same permutation, bitexact.
     """
     if variant == "sorted" and not mig_sorted_ok(G, Np):
-        raise ValueError(f"sorted migration needs G//8 a power of two; "
-                         f"got G={G} (the XOR lattice breaks silently "
-                         f"otherwise)")
+        raise ValueError(f"sorted migration needs G a multiple of 8; "
+                         f"got G={G} (non-power-of-two Gr runs the "
+                         f"padded compact lattice automatically)")
     C = G * Np
     R = _R
     Cf = C // R
@@ -789,7 +914,10 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
     dt = jnp.float32
     extra = []
     sp_T = None
-    if variant == "sorted" and Gr % COMPACT_MIN_GR == 0:
+    if variant == "sorted" and (Gr % COMPACT_MIN_GR == 0
+                                or Gr & (Gr - 1)):
+        # compact geometry: wide power-of-two layouts (perf) and EVERY
+        # non-power-of-two Gr (the padded lattice only exists there)
         sp_T, word_np = _spread_word(Gr, Np, Cf)
         extra = [word_np]
 
@@ -827,8 +955,76 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
                                            jnp.asarray(extra[0]))
 
 
+# ---------------------------------------------------------------------------
+# in-kernel replacements for Mosaic-unsupported math primitives
+# (substituted into the density replay by build_fused_step's _overrides)
+# ---------------------------------------------------------------------------
+
+def _erf32(x):
+    """float32 erf as XLA's own rational approximation (ErfImpl32,
+    xla/client/lib/math.cc) with saturation at |x|=3.8 — Mosaic has no
+    erf lowering.  Max abs deviation from the XLA primitive: 4.8e-7
+    (~4 ulp at 1.0), verified in ``tests/test_fused_step.py``."""
+    alpha = (0.00022905065861350646, 0.0034082910107109506,
+             0.050955695062380861, 0.18520832239976145,
+             1.128379143519084)
+    beta = (-1.1791602954361697e-7, 0.000023547966471313185,
+            0.0010179625278914885, 0.014070470171167667,
+            0.11098505178285362, 0.49746925110067538, 1.0)
+    xc = jnp.clip(x, -3.8, 3.8)
+    x2 = xc * xc
+
+    def poly(cs):
+        r = jnp.full_like(x2, np.float32(cs[0]))
+        for c in cs[1:]:
+            r = r * x2 + np.float32(c)
+        return r
+
+    rat = xc * poly(alpha) / poly(beta)
+    return jnp.where(jnp.abs(x) >= np.float32(3.8), jnp.sign(x), rat)
+
+def _erfc32(x):
+    """float32 erfc via Abramowitz & Stegun 7.1.26 (|abs err| < 6e-7;
+    tail-relative error grows to ~1e-2 by |x|≈5, comparable to the
+    f32 cancellation the per-cell path already incurs computing
+    1-cdf).  Φ(z) = 0.5·erfc(-z/√2) is how jax.scipy lowers norm.cdf."""
+    from ..utils import dists as _d
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + np.float32(_d.AS_ERFC_P) * ax)
+    y = jnp.exp(-ax * ax) * _d.as_erfc_poly(t)
+    return jnp.where(x >= 0, y, np.float32(2.0) - y)
+
+def _lgamma32(x):
+    """float32 log-gamma — Mosaic has no lgamma lowering.  Shift-up
+    recurrence to z = x+8 then a 3-term Stirling series (series
+    truncation < 3e-10 at z ≥ 8; f32 roundoff dominates at ~2 ulp,
+    verified vs scipy in tests/test_fused_step.py).  Valid for
+    x > 0; non-positive x yields NaN/±inf garbage exactly where the
+    true lgamma has poles — zoo densities where-mask those lanes
+    (e.g. the discrete binomial's N < k reject)."""
+    prod = x
+    for i in range(1, 8):
+        prod = prod * (x + np.float32(float(i)))
+    z = x + np.float32(8.0)
+    zi = np.float32(1.0) / z
+    zi2 = zi * zi
+    series = zi * (np.float32(1.0 / 12.0)
+                   + zi2 * (np.float32(-1.0 / 360.0)
+                            + zi2 * np.float32(1.0 / 1260.0)))
+    lg = ((z - np.float32(0.5)) * jnp.log(z) - z
+          + np.float32(0.5 * np.log(2.0 * np.pi)) + series)
+    return lg - jnp.log(prod)
+
+_overrides = {"erf": lambda invals, params: [_erf32(invals[0])],
+              "erfc": lambda invals, params: [_erfc32(invals[0])],
+              "lgamma": lambda invals, params: [_lgamma32(invals[0])]}
+_call_prims = ("pjit", "closed_call", "core_call", "custom_jvp_call",
+               "custom_vjp_call", "custom_vjp_call_jaxpr", "remat",
+               "checkpoint")
+
+
 def build_fused_step(model, de, spec, interpret=None, K=1,
-                     mig_in_kernel=False, emit="all"):
+                     mig_in_kernel=False, emit="all", hist_S=None):
     """Returns ``kernel_call(theta3 [d,R,Cf], weight3 [R,Cf], key2 [2]
     uint32, it scalar, fire [1,1] int32) -> (theta_traj [K,d,R,Cf],
     w_traj [K,R,Cf], accept [K,R,Cf] bool, fire_out [1,1])`` — ``K``
@@ -836,6 +1032,16 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     layout (R=8 rows, Cf=C/8 lanes; chain c ↔ row c//Cf, lane c%Cf),
     with the population carried across the grid in VMEM scratch.
     Raises on trace failure (caller falls back).
+
+    Resample (DE-MCz) configurations take the PADDED layout (module
+    constants above :func:`_resample_supported`): ``hist_S`` is the
+    packed history slab count and the call signature gains a trailing
+    ``hist [S, d, 128]`` argument and output — one full HBM↔VMEM DMA of
+    the history per launch, per-iteration in-VMEM row gathers/writes,
+    partner indices precomputed in XLA (``resample_flat_indices``, the
+    same without-replacement semantics as the XLA step) and shipped
+    through SMEM.  Reference: ``src/crossover.jl:103-140`` (resample +
+    snooker partner draws from ``de.samples``).
 
     ``emit='last'`` shrinks the trajectory outputs to ``[1, ...]`` —
     every grid step writes the same (VMEM-resident) output block, so
@@ -862,8 +1068,18 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     G, Np, d = de.n_groups, de.Np, spec.dim
     C = G * Np
     R = _R
-    Cf = C // R
-    Gr = Cf // Np                     # groups per sublane row (G == R·Gr)
+    resample = bool(de.uses_resample)
+    if resample:
+        C_real, B_hist, Cf = resample_layout(de)
+        C = R * Cf                    # padded chain count (layout/draws)
+        if hist_S is None:
+            raise ValueError("resample kernel needs hist_S (slab count)")
+        S_hist = int(hist_S)
+        n_slots = 2 + (3 if float(de.theta_snooker) > 0.0 else 0)
+    else:
+        C_real, Cf = C, C // R
+        S_hist = n_slots = 0
+    Gr = max(Cf // Np, 1)             # groups per sublane row (G == R·Gr)
     HIGH = jax.lax.Precision.HIGHEST  # bitexact one-hot contractions
     dt = jnp.float32
     lo_b = np.asarray(spec.lo, np.float32).reshape(d, 1)
@@ -897,14 +1113,18 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     # out-of-bounds scores) works too.  One-hot is the fallback for
     # non-power-of-two group layouts up to MIG_MAX_G (MH/max only — its
     # weight transport's -inf flag column doesn't cover +inf).
-    if mig_sorted_ok(G, Np):
-        mig_variant = "sorted"
+    if mig_sorted_ok(G, Np) and _gr_pow2(G):
+        mig_variant = "sorted"     # native power-of-two lattice
     elif G <= MIG_MAX_G and mode != "min":
-        mig_variant = "onehot"
+        mig_variant = "onehot"     # small non-pow2 layouts: the verified
+        # [G, G] one-hot path (padded-compact works here too but the
+        # matrices are cheap at this size)
+    elif mig_sorted_ok(G, Np):
+        mig_variant = "sorted"     # padded-compact lattice (any Gr)
     elif mig_in_kernel:
         raise ValueError(
-            f"no in-kernel migration variant for G={G} (G//8 not a power "
-            f"of two and the [G, G] fallback is "
+            f"no in-kernel migration variant for G={G} (not a multiple "
+            f"of 8 and the [G, G] fallback is "
             f"{'min-mode-incompatible' if mode == 'min' else 'capped at '}"
             f"{'' if mode == 'min' else MIG_MAX_G})")
     else:
@@ -919,6 +1139,11 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         blocks_flat = [np.asarray(flatten_block(spec, b), bool)
                        for b in de.blocks]
     n_sweeps = len(blocks_flat) if blocks_flat is not None else 1
+    # discrete parameter dims (STATIC): float-proposed values snap to
+    # integers before fitness — the round-and-cast rule of
+    # src/utilities.jl:360-369, same placement as the XLA step
+    int_dims = ([i for i, m in enumerate(np.asarray(spec.int_mask)) if m]
+                if spec.has_int else [])
     gp = de.generate_proposal
     is_random_gamma = gp in (proposal_ops.random_gamma, "random_gamma")
     if gp in (proposal_ops.fixed_gamma, "fixed_gamma"):
@@ -928,7 +1153,14 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     else:
         fixed_g1 = None
 
-    def _lp_fn(prop3):
+    # pseudo-marginal noise panel (DEModel.noise_shape): fresh uniforms
+    # drawn in-kernel on every evaluation, traced here as a SECOND
+    # symbolic input of the density replay
+    stochastic = bool(getattr(model, "stochastic", False))
+    noise_shape = (tuple(model.noise_shape) if stochastic else ())
+    noise_words = int(np.prod(noise_shape)) if stochastic else 0
+
+    def _lp_fn(prop3, noise):
         """Posterior log density of the whole population,
         [d, R, Cf] -> [R, Cf], via the model's chains-LAST batched
         densities (bounds/NaN mask applied outside).  Chains stay in the
@@ -937,21 +1169,24 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         [C, n_obs] plus lane<->sublane transposes), which measured ~10x
         slower in-kernel."""
         cols = spec.unflatten_cols(prop3)
-        lp = _ll(cols)
+        lp = _ll(cols, noise)
         if mode == "mh":
             lp = model.prior_loglike_batched(*cols) + lp
         return lp.reshape(R, Cf).astype(dt)
 
-    def _ll(cols):
+    def _ll(cols, noise):
         # data_batched (when set) is the BATCHED densities' view of the
         # data — e.g. sample_replicated_packed's per-chain-expanded
         # leaves — while model.data keeps the plain shape the per-cell
         # XLA path (and build_step's dtype/pool probes) can broadcast
         ll_data = (model.data if model.data_batched is None
                    else model.data_batched)
+        kw = dict(model.kwargs)
+        if stochastic:
+            kw["noise"] = noise
         if not model.chunk_obs:
             return model.loglike_batched(ll_data, *model.args, *cols,
-                                         **model.kwargs)
+                                         **kw)
         # observation chunking (model.chunk_obs contract): evaluate the
         # density over small data slices and add the partial sums, so
         # each in-kernel intermediate is [CH, R, Cf] instead of
@@ -988,7 +1223,13 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     # path is f32 throughout: a jaxpr touching f64 (not a Mosaic dtype)
     # raises here and the caller falls back to the XLA step.
     from jax.extend import core as jax_core
-    closed = jax.make_jaxpr(_lp_fn)(jnp.zeros((d, R, Cf), dt))
+    if stochastic:
+        closed = jax.make_jaxpr(_lp_fn)(
+            jnp.zeros((d, R, Cf), dt),
+            jnp.zeros(noise_shape + (R, Cf), dt))
+    else:
+        closed = jax.make_jaxpr(lambda p: _lp_fn(p, None))(
+            jnp.zeros((d, R, Cf), dt))
 
     def _subjaxprs(params):
         for v in params.values():
@@ -1012,45 +1253,6 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
     _check_f64(closed.jaxpr)
 
-    def _erf32(x):
-        """float32 erf as XLA's own rational approximation (ErfImpl32,
-        xla/client/lib/math.cc) with saturation at |x|=3.8 — Mosaic has no
-        erf lowering.  Max abs deviation from the XLA primitive: 4.8e-7
-        (~4 ulp at 1.0), verified in ``tests/test_fused_step.py``."""
-        alpha = (0.00022905065861350646, 0.0034082910107109506,
-                 0.050955695062380861, 0.18520832239976145,
-                 1.128379143519084)
-        beta = (-1.1791602954361697e-7, 0.000023547966471313185,
-                0.0010179625278914885, 0.014070470171167667,
-                0.11098505178285362, 0.49746925110067538, 1.0)
-        xc = jnp.clip(x, -3.8, 3.8)
-        x2 = xc * xc
-
-        def poly(cs):
-            r = jnp.full_like(x2, np.float32(cs[0]))
-            for c in cs[1:]:
-                r = r * x2 + np.float32(c)
-            return r
-
-        rat = xc * poly(alpha) / poly(beta)
-        return jnp.where(jnp.abs(x) >= np.float32(3.8), jnp.sign(x), rat)
-
-    def _erfc32(x):
-        """float32 erfc via Abramowitz & Stegun 7.1.26 (|abs err| < 6e-7;
-        tail-relative error grows to ~1e-2 by |x|≈5, comparable to the
-        f32 cancellation the per-cell path already incurs computing
-        1-cdf).  Φ(z) = 0.5·erfc(-z/√2) is how jax.scipy lowers norm.cdf."""
-        from ..utils import dists as _d
-        ax = jnp.abs(x)
-        t = 1.0 / (1.0 + np.float32(_d.AS_ERFC_P) * ax)
-        y = jnp.exp(-ax * ax) * _d.as_erfc_poly(t)
-        return jnp.where(x >= 0, y, np.float32(2.0) - y)
-
-    _overrides = {"erf": lambda invals, params: [_erf32(invals[0])],
-                  "erfc": lambda invals, params: [_erfc32(invals[0])]}
-    _call_prims = ("pjit", "closed_call", "core_call", "custom_jvp_call",
-                   "custom_vjp_call", "custom_vjp_call_jaxpr", "remat",
-                   "checkpoint")
 
     # ---- build-time partial evaluation -------------------------------
     class _Sym:                          # token for an in-kernel value
@@ -1166,7 +1368,14 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         return [read(v) for v in jaxpr.outvars]
 
     _root = _Sym()
-    (_lp_out,) = _peval(closed.jaxpr, closed.consts, [_root])
+    _root_nz = _Sym() if stochastic else None
+    _roots = [_root] + ([_root_nz] if stochastic else [])
+    # the folding's primitive binds must execute EAGERLY (their outputs
+    # feed np.asarray) even when the kernel builds inside an outer jit
+    # trace — the resample path constructs kernels lazily at trace time
+    # (the history slab count is a run property)
+    with jax.ensure_compile_time_eval():
+        (_lp_out,) = _peval(closed.jaxpr, closed.consts, _roots)
     _lp_out_op = _enc(_lp_out)
 
     # Heavy densities do not belong in the kernel UNCHUNKED: an
@@ -1186,9 +1395,11 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             "(register-file working set exceeded); using the XLA step — "
             "consider DEModel.chunk_obs")
 
-    def lp_conv(prop_val, ship_vals):
+    def lp_conv(prop_val, ship_vals, noise_val=None):
         """Replay the residual density program in-kernel."""
         env2 = {_root: prop_val}
+        if stochastic:
+            env2[_root_nz] = noise_val
 
         def dec(op):
             kind = op[0]
@@ -1239,17 +1450,20 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     n_words = 0
     if mig_in_kernel:
         n_words += 3                                  # ranks, N, gumbel
-    per_sweep = 2                                     # partner draws
+    # resample mode: partner/snooker-triple indices come from SMEM
+    # (precomputed in XLA), not from in-kernel draws
+    per_sweep = 0 if resample else 2                  # partner draws
     if is_random_gamma:
         per_sweep += 3                                # u_base, g1, g2
     if theta_s > 0.0:
-        per_sweep += 5                                # z/m/n, γ, gate
+        per_sweep += 2 if resample else 5             # [z/m/n,] γ, gate
     if eps > 0.0:
         per_sweep += d
     if kappa < 1.0:
         per_sweep += d
     if beta > 0.0:
         per_sweep += 1 + 2 * d                        # gate + Box-Muller
+    per_sweep += noise_words                          # pseudo-marginal
     per_sweep += 1                                    # accept
     n_words += per_sweep * n_sweeps                   # one sweep per block
     n_words += 1                                      # fire look-ahead
@@ -1264,18 +1478,29 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     # (numpy-simulated at build time, shipped as one packed-int32 input)
     mig_spread_T = mig_word_idx = None
     if (mig_in_kernel and mig_variant == "sorted"
-            and Gr % COMPACT_MIN_GR == 0):
+            and (Gr % COMPACT_MIN_GR == 0 or Gr & (Gr - 1))):
         mig_spread_T, _word_np = _spread_word(Gr, Np, Cf)
         mig_word_idx = len(ship)
         ship.append(_word_np)
 
     def kernel(it_ref, key_ref, fire_in_ref, *refs):
+        if resample:
+            idx_ref, refs = refs[0], refs[1:]     # SMEM [K, n_slots, C_real]
         if interpret:
             bits_ref, refs = refs[0], refs[1:]
         ship_refs = refs[:len(ship)]
-        (theta_ref, w_ref, out_t_ref, out_w_ref, out_acc_ref,
-         out_fire_ref) = refs[len(ship):len(ship) + 6]
-        scratch = refs[len(ship) + 6:]
+        refs = refs[len(ship):]
+        theta_ref, w_ref, refs = refs[0], refs[1], refs[2:]
+        if resample:
+            hist_in_ref, refs = refs[0], refs[1:]  # HBM [S, d, Cf]
+        out_t_ref, out_w_ref, out_acc_ref, out_fire_ref = refs[:4]
+        refs = refs[4:]
+        if resample:
+            hist_out_ref, refs = refs[0], refs[1:]
+        scratch = refs
+        if resample:
+            hist_sc, dma_sem = scratch[-2:]
+            scratch = scratch[:-2]
         if is_random_gamma:
             theta_sc, w_sc, bterm_sc, fire_sc = scratch
         else:
@@ -1287,6 +1512,13 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             theta_sc[:] = theta_ref[:]
             w_sc[:] = w_ref[:]
             fire_sc[0] = fire_in_ref[0]
+            if resample:
+                # the whole packed history HBM -> VMEM once per launch;
+                # per-iteration reads/writes then stay in VMEM and the
+                # final state DMAs back at k == K-1 (amortized by K)
+                cp = pltpu.make_async_copy(hist_in_ref, hist_sc, dma_sem)
+                cp.start()
+                cp.wait()
 
         ship_vals = [ref[:] for ref in ship_refs]
         it = it_ref[0] + k
@@ -1407,7 +1639,53 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
             return _sweep_tail(theta, w, bkeep, rolls, pm, pn)
 
-        def _sweep_tail(theta, w, bkeep, rolls, pm, pn):
+        if resample:
+            lane_h = jax.lax.broadcasted_iota(jnp.int32, (d, Cf), 1)
+
+            def fetch_hist(slot):
+                """Partner population [d, R, Cf] from the history: each
+                real chain c reads its precomputed (slab, lane) index —
+                ``resample``'s (past-iteration, chain) draw flattened
+                into the slab layout — via a dynamic slab load + one-hot
+                lane reduction; the [d]-column lands in chain c's lane
+                of sublane row 0 (pad cells stay zero, never read).
+                The index array is 1-D (k-major, then slot, then chain):
+                SMEM tiles the two minor dims of an N-D array to (8, 128)
+                like VMEM, so a [K, slots, C] shape would claim
+                K·8·128·4 bytes — the whole 1 MB SMEM at K=256 (observed
+                on-chip); flat it costs its true 4·K·slots·C bytes."""
+                buf = jnp.zeros((d, R, Cf), dt)
+                for c in range(C_real):
+                    packed = idx_ref[(k * n_slots + slot) * C_real + c]
+                    slab = packed // np.int32(Cf)
+                    ln = packed % np.int32(Cf)
+                    slabv = hist_sc[pl.ds(slab, 1)].reshape(d, Cf)
+                    col = jnp.sum(
+                        jnp.where(lane_h == ln, slabv,
+                                  jnp.zeros_like(slabv)),
+                        axis=1, keepdims=True)            # [d, 1]
+                    col3 = jax.lax.broadcast_in_dim(col, (d, R, Cf),
+                                                    (0, 2))
+                    buf = jnp.where((rowI == 0) & (lane == c), col3, buf)
+                return buf
+
+            def one_sweep_resample(theta, w):
+                """The resample-mode sweep: DE partners (and the snooker
+                triple) come from the HISTORY (crossover.jl:113-124 via
+                the de.sample slot), not the current group; the softmax
+                base-select stays group-local (crossover.jl:158,282-289).
+                The roll dictionary is only needed pre-burnin (base
+                gather), so _sweep_tail builds it lazily inside that
+                pl.when region."""
+                pm = fetch_hist(0)
+                pn = fetch_hist(1)
+                sn = None
+                if theta_s > 0.0:
+                    sn = (fetch_hist(2), fetch_hist(3), fetch_hist(4))
+                return _sweep_tail(theta, w, None, None, pm, pn,
+                                   sn_partners=sn)
+
+        def _sweep_tail(theta, w, bkeep, rolls, pm, pn, sn_partners=None):
             if is_random_gamma:
                 u_b = uni(1)
                 g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
@@ -1439,7 +1717,12 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     for o in range(Np):
                         cnt = cnt + (q_rolls[o] < u_bs).astype(jnp.int32)
                     bidx = jnp.minimum(cnt, Np - 1)
-                    base = _seg_gather(rolls, bidx, p, Np)
+                    # resample mode passes rolls=None: the dictionary is
+                    # only consumed here, inside the burnin region, so
+                    # post-burnin iterations never pay for it
+                    rl = (rolls if rolls is not None
+                          else _roll_dict(theta, p, Np))
+                    base = _seg_gather(rl, bidx, p, Np)
                     bterm_sc[:] = g2 * (base - theta)
 
                 @pl.when(it > burnin)
@@ -1454,18 +1737,24 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             if theta_s > 0.0:
                 # ---- snooker branch, mixed per chain with prob θsnooker
                 # (crossover.jl:239-257 + the (d−1)-log-norm MH correction
-                # of crossover.jl:268-273).  3 distinct draws INCLUDING self.
-                az = randint(1, Np)
-                bz = randint(1, Np - 1)
-                cz = randint(1, Np - 2)
-                bz = bz + (bz >= az)
-                lo_i = jnp.minimum(az, bz)
-                hi_i = jnp.maximum(az, bz)
-                cz = cz + (cz >= lo_i)
-                cz = cz + (cz >= hi_i)
-                pz = _seg_gather(rolls, az, p, Np)
-                pm2 = _seg_gather(rolls, bz, p, Np)
-                pn2 = _seg_gather(rolls, cz, p, Np)
+                # of crossover.jl:268-273).  3 distinct draws INCLUDING
+                # self — from the current group (in-kernel index draws)
+                # or, in resample mode, the history triple fetched by the
+                # caller (crossover.jl:241 via the de.sample slot).
+                if sn_partners is not None:
+                    pz, pm2, pn2 = sn_partners
+                else:
+                    az = randint(1, Np)
+                    bz = randint(1, Np - 1)
+                    cz = randint(1, Np - 2)
+                    bz = bz + (bz >= az)
+                    lo_i = jnp.minimum(az, bz)
+                    hi_i = jnp.maximum(az, bz)
+                    cz = cz + (cz >= lo_i)
+                    cz = cz + (cz >= hi_i)
+                    pz = _seg_gather(rolls, az, p, Np)
+                    pm2 = _seg_gather(rolls, bz, p, Np)
+                    pn2 = _seg_gather(rolls, cz, p, Np)
                 pd = theta - pz                         # [d, R, Cf]
                 den0 = jnp.sum(pd * pd, axis=0)         # ‖θ−z‖², [R, Cf]
                 degen = den0 <= tiny
@@ -1522,6 +1811,16 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 if log_adj is not None:                # mutation: no snooker
                     log_adj = jnp.where(mut, np.float32(0.0), log_adj)
 
+            if int_dims:
+                # integer snap (utilities.jl:360-369): after the mutation
+                # merge, before bounds/fitness — exactly like the XLA step
+                dimI2 = jax.lax.broadcasted_iota(jnp.int32, (d, R, Cf), 0)
+                im = None
+                for i in int_dims:
+                    t = dimI2 == i
+                    im = t if im is None else im | t
+                prop = jnp.where(im, jnp.round(prop), prop)
+
             # ---- fitness: bounds + user log posterior (utilities.jl:92-99) ---
             # per-dimension scalar-literal bounds (array bounds would be
             # captured constants, which Pallas rejects); ±inf rows skipped
@@ -1532,7 +1831,13 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     inb = inb & (row >= np.float32(lo_b[i, 0]))
                 if np.isfinite(hi_b[i, 0]):
                     inb = inb & (row <= np.float32(hi_b[i, 0]))
-            lp = lp_conv(prop, ship_vals)              # [R, Cf]
+            nz = None
+            if stochastic:
+                # fresh pseudo-marginal noise per evaluation, from the
+                # hardware PRNG (the in-kernel analogue of the XLA
+                # path's per-(iteration, block) key)
+                nz = uni(noise_words).reshape(noise_shape + (R, Cf))
+            lp = lp_conv(prop, ship_vals, nz)          # [R, Cf]
             bad = inf32 if mode == "min" else -inf32   # evaluate_fun!'s ∓inf
             w_prop = jnp.where(inb & ~jnp.isnan(lp), lp, bad)
 
@@ -1556,7 +1861,9 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
         theta = theta_sc[:]                        # [d, R, Cf]
         w = w_sc[:]                                # [R, Cf]
-        if blocks_flat is None:
+        if resample:
+            new_t, new_w, acc = one_sweep_resample(theta, w)
+        elif blocks_flat is None:
             new_t, new_w, acc = one_sweep(theta, w, None)
         else:
             # block_update! (main.jl:174-179): one full sweep per block,
@@ -1571,6 +1878,21 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         out_t_ref[0] = new_t
         out_w_ref[0] = new_w
         out_acc_ref[0] = acc
+        if resample:
+            # store_samples! (utilities.jl:161-180): the updated real
+            # chains land in history row it-1 — slab (it-1)//B, lane
+            # window ((it-1)%B)·C.  Row 0 of the population scratch is
+            # read back as a REF load (address math, no value relayout)
+            # and shifted to the window by a dynamic lane roll.
+            roww = it - 1
+            slab_w = roww // np.int32(B_hist)
+            off = (roww % np.int32(B_hist)) * np.int32(C_real)
+            row0 = theta_sc[:, 0, :]                      # [d, Cf]
+            moved = pltpu.roll(row0, off, axis=1)
+            cur = hist_sc[pl.ds(slab_w, 1)].reshape(d, Cf)
+            win = (lane_h >= off) & (lane_h < off + np.int32(C_real))
+            hist_sc[pl.ds(slab_w, 1)] = jnp.where(
+                win, moved, cur).reshape(1, d, Cf)
         # migration gate for the NEXT iteration (main.jl:85's rand() <= α,
         # drawn one step ahead so the decision costs no extra kernel)
         u_fire = uni(1)
@@ -1584,6 +1906,10 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         @pl.when(k == K - 1)
         def _():
             out_fire_ref[0] = fire_sc[0]
+            if resample:
+                cp = pltpu.make_async_copy(hist_sc, hist_out_ref, dma_sem)
+                cp.start()
+                cp.wait()
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
 
@@ -1591,32 +1917,65 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     in_specs = ([smem(), smem(), smem()]           # it0, key, fire_in
+                + ([smem()] if resample else [])   # partner indices
                 + ([vfull()] if interpret else [])
-                + [vfull() for _ in ship] + [vfull(), vfull()])
+                + [vfull() for _ in ship] + [vfull(), vfull()]
+                + ([pl.BlockSpec(memory_space=pl.ANY)]   # history HBM
+                   if resample else []))
     if emit == "all":
         T_out = K
         t_idx, w_idx = (lambda k: (k, 0, 0, 0)), (lambda k: (k, 0, 0))
+    elif isinstance(emit, tuple) and emit[0] == "stride":
+        # every stride-th iteration's values reach HBM: the output block
+        # index advances once per stride window, so the window's LAST
+        # write is what flushes — device-side thinning at K ≫ thin (one
+        # launch per K/stride stored draws instead of per draw)
+        stride = int(emit[1])
+        if K % stride:
+            raise ValueError(f"emit stride {stride} must divide K={K}")
+        T_out = K // stride
+        t_idx = (lambda k, s=stride: (k // s, 0, 0, 0))
+        w_idx = (lambda k, s=stride: (k // s, 0, 0))
     else:                # 'last': constant block — final grid step wins
         T_out = 1
         t_idx, w_idx = (lambda k: (0, 0, 0, 0)), (lambda k: (0, 0, 0))
-    out_specs = (pl.BlockSpec((1, d, R, Cf), t_idx),
-                 pl.BlockSpec((1, R, Cf), w_idx),
-                 pl.BlockSpec((1, R, Cf), w_idx),
-                 smem())
+    out_specs = ((pl.BlockSpec((1, d, R, Cf), t_idx),
+                  pl.BlockSpec((1, R, Cf), w_idx),
+                  pl.BlockSpec((1, R, Cf), w_idx),
+                  smem())
+                 + ((pl.BlockSpec(memory_space=pl.ANY),)
+                    if resample else ()))
+    out_shape = ((jax.ShapeDtypeStruct((T_out, d, R, Cf), dt),
+                  jax.ShapeDtypeStruct((T_out, R, Cf), dt),
+                  jax.ShapeDtypeStruct((T_out, R, Cf), bool),
+                  jax.ShapeDtypeStruct((1,), jnp.int32))
+                 + ((jax.ShapeDtypeStruct((S_hist, d, Cf), dt),)
+                    if resample else ()))
     scratch_shapes = [pltpu.VMEM((d, R, Cf), dt), pltpu.VMEM((R, Cf), dt)]
     if is_random_gamma:
         scratch_shapes.append(pltpu.VMEM((d, R, Cf), dt))   # bterm
     scratch_shapes.append(pltpu.SMEM((1,), jnp.int32))      # fire
+    if resample:
+        scratch_shapes.append(pltpu.VMEM((S_hist, d, Cf), dt))  # history
+        scratch_shapes.append(pltpu.SemaphoreType.DMA)
+    vmem_budget = 64 * 1024 * 1024
+    io_aliases = {}
+    if resample:
+        # history VMEM scratch on top of the standard budget
+        vmem_budget += S_hist * d * Cf * 4
+        # the history input updates in place (only rows < it are ever
+        # read and only row it-1 is written, so the k==0 DMA-in never
+        # races the k==K-1 DMA-out of the same launch)
+        n_inputs = 3 + 1 + (1 if interpret else 0) + len(ship) + 2 + 1
+        io_aliases = {n_inputs - 1: 4}
     call = pl.pallas_call(
         kernel,
         grid=(K,),
-        out_shape=(jax.ShapeDtypeStruct((T_out, d, R, Cf), dt),
-                   jax.ShapeDtypeStruct((T_out, R, Cf), dt),
-                   jax.ShapeDtypeStruct((T_out, R, Cf), bool),
-                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
+        input_output_aliases=io_aliases,
         # the TPU-specific interpreter (plain interpret=True lacks rules
         # for pltpu primitives: prng_seed, roll, ...)
         interpret=pltpu.InterpretParams() if interpret else False,
@@ -1625,22 +1984,61 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         # on v5e+.  If the chip can't honor it, compilation fails at the
         # lower() below and the caller falls back to the XLA step.
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=vmem_budget),
     )
 
-    def kernel_call(theta3, weight3, key2, it, fire):
+    def _resample_idx(key2, it32):
+        """Per-launch partner indices [K, n_slots, C_real] int32, packed
+        slab·Cf + lane.  Slots 0-1: the DE pair; 2-4: the snooker triple
+        (each tuple without replacement over the flat (row, chain) space
+        — resample_flat_indices, the same draw semantics as the XLA
+        path, on its own tagged key stream).  The key is folded PER
+        ITERATION (vmap over the launch's K iterations), so any mix of
+        launch sizes K produces identical chains — the same bitwise
+        superstep contract as the hardware PRNG's per-iteration
+        re-seeding."""
+        key = jax.random.wrap_key_data(key2.astype(jnp.uint32),
+                                       impl="threefry2x32")
+        kres = jax.random.fold_in(key, rng.RESAMPLE)
+
+        def one_iter(it_k):
+            kd = rng.KeyDraws(jax.random.fold_in(kres, it_k))
+            count = jnp.maximum(it_k - 1, 1)
+            rows, chains_ = proposal_ops.resample_flat_indices(
+                kd, 2, count, C_real, (C_real,))
+            if theta_s > 0.0:
+                r2, c2 = proposal_ops.resample_flat_indices(
+                    kd, 3, count, C_real, (C_real,))
+                rows = jnp.concatenate([rows, r2])
+                chains_ = jnp.concatenate([chains_, c2])
+            slab = rows // B_hist
+            lanep = (rows % B_hist) * C_real + chains_
+            return (slab * Cf + lanep).astype(jnp.int32)  # [slots, C]
+
+        its = it32 + jnp.arange(K, dtype=jnp.int32)
+        # FLAT layout (see fetch_hist): [K·slots·C] — an N-D SMEM array
+        # would be tile-padded to (8, 128) minors
+        return jax.vmap(one_iter)(its).reshape(-1)
+
+    def kernel_call(theta3, weight3, key2, it, fire, hist=None):
         it32 = it.astype(jnp.int32)
         extra = ()
+        if resample:
+            extra += (_resample_idx(key2, it32),)
         if interpret:
             key = jax.random.wrap_key_data(key2, impl="threefry2x32")
             bits = [jax.random.bits(jax.random.fold_in(key, it32 + kk),
                                     (n_words, C), jnp.uint32)
                     for kk in range(K)]
-            extra = (jnp.concatenate(bits, axis=0),)
-        t, wout, a, f = call(it32.reshape(1), key2.astype(jnp.uint32),
-                             fire.reshape(1).astype(jnp.int32), *extra,
-                             *[jnp.asarray(x) for x in ship],
-                             theta3, weight3)
+            extra += (jnp.concatenate(bits, axis=0),)
+        args = (list(extra) + [jnp.asarray(x) for x in ship]
+                + [theta3, weight3] + ([hist] if resample else []))
+        out = call(it32.reshape(1), key2.astype(jnp.uint32),
+                   fire.reshape(1).astype(jnp.int32), *args)
+        if resample:
+            t, wout, a, f, hist_out = out
+            return t, wout, a, f.reshape(1, 1), hist_out
+        t, wout, a, f = out
         return t, wout, a, f.reshape(1, 1)
 
     # surface unsupported-op errors at build time so the caller can fall
@@ -1654,6 +2052,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
               jax.ShapeDtypeStruct((2,), jnp.uint32),
               jax.ShapeDtypeStruct((), jnp.int32),
               jax.ShapeDtypeStruct((1, 1), jnp.int32))
+    if resample:
+        shapes += (jax.ShapeDtypeStruct((S_hist, d, Cf), dt),)
     if interpret:
         jax.eval_shape(kernel_call, *shapes)
     else:

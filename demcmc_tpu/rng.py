@@ -33,6 +33,7 @@ CUSTOM = 19         # custom strategy-slot key root
 NEXT_KEY = 20       # ProposalContext.next_key substream
 EVAL = 21           # stochastic (pseudo-marginal) likelihood evaluations
 MIGRATE = 22        # fused-path migration draws (exchange fired by `fire`)
+RESAMPLE = 23       # fused-path resample (DE-MCz) partner-index draws
 
 
 def step_key(base_key: jax.Array, iteration) -> jax.Array:

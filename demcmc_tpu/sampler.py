@@ -238,6 +238,10 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     masked exchange) only under a mesh or when G//8 is not a power of
     two."""
     from .ops import fused_step as fused_mod
+    if de.uses_resample:
+        if mesh is not None:
+            raise ValueError("fused resample path is single-device")
+        return _build_fused_resample_wrapped(model, de, spec)
     G, Np, d = de.n_groups, de.Np, spec.dim
     C = G * Np
     R = fused_mod._R
@@ -311,19 +315,18 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
         return (jnp.transpose(tgn, (2, 0, 1)).reshape(d, R, Cf),
                 wgn.reshape(R, Cf))
 
-    # G > MIG_MAX_G gate style: "cond" skips the XLA migration work via a
-    # lax.cond (a ~1 µs device-scalar pipeline sync per step), "branchless"
-    # always computes the exchange and mask-applies it (fire=False is an
-    # exact identity, so both styles are bitwise identical).  Which wins
-    # depends on the argsort+gather cost at this G vs the cond sync —
-    # measured on-chip by validation/mig_gate_bench.py.
+    # XLA-migration gate style (mesh path — single-device always migrates
+    # in-kernel since round 4): "cond" skips the exchange work on unfired
+    # iterations via a lax.cond around ONLY the migration (the shard_map
+    # kernel call stays outside the cond — GSPMD partitioning of manual
+    # regions under cond is fragile, but partitioning the plain XLA
+    # exchange under cond is fine), "branchless" always computes the
+    # exchange and mask-applies it.  fire=False is an exact identity, so
+    # both styles are bitwise identical; cond saves the ~90% of
+    # iterations where migration doesn't fire from paying the
+    # argsort+gather exchange (VERDICT r3 item 4).
     import os as _os
     branchless = _os.environ.get("DEMCMC_MIG_GATE", "cond") == "branchless"
-    if mesh is not None:
-        # keep the shard_map region out of lax.cond branches (GSPMD
-        # partitioning of manual regions under cond is fragile); the
-        # masked exchange is bitwise identical either way
-        branchless = True
 
     def _call(kern, state):
         it = state.iteration
@@ -333,16 +336,11 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
         fired = state.fire.reshape(()) > 0
         if branchless:
             t3, w3 = mig(state, state.theta, state.weight, fire=fired)
-            return kern(t3, w3, key2, it, state.fire)
-
-        def br(migrate):
-            def f(args):
-                t3, w3 = (mig(state, *args) if migrate else args)
-                return kern(t3, w3, key2, it, state.fire)
-            return f
-
-        return jax.lax.cond(fired, br(True), br(False),
-                            (state.theta, state.weight))
+        else:
+            t3, w3 = jax.lax.cond(fired, lambda a: mig(state, *a),
+                                  lambda a: a,
+                                  (state.theta, state.weight))
+        return kern(t3, w3, key2, it, state.fire)
 
     def step(state: SamplerState, _=None):
         t, wout, acc, fire = _call(k1, state)
@@ -419,8 +417,12 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     def to_fused(state: SamplerState) -> SamplerState:
         if state.fire is not None:
             return state
-        theta3 = state.theta.reshape(C, d).T.reshape(d, R, Cf)
-        w3 = state.weight.reshape(R, Cf)
+        # the kernel is f32 throughout; a model whose PER-CELL density
+        # promotes under x64 (e.g. discrete_binomial's gammaln) leaves an
+        # f64 initial weight in the state — cast it to the kernel dtype
+        theta3 = (state.theta.reshape(C, d).T.reshape(d, R, Cf)
+                  .astype(jnp.float32))
+        w3 = state.weight.reshape(R, Cf).astype(jnp.float32)
         # first iteration's migration gate (subsequent gates come from the
         # kernel's look-ahead draw; carried through checkpoints for
         # bitwise resume)
@@ -452,19 +454,200 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     return step
 
 
+def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
+    """Fused step for resample (DE-MCz) configurations — the reference's
+    flagship small-population mode (``test/multivariate_normal_tests.jl``:
+    Np=3, n_groups=1, θsnooker=0.1, 50k iterations), where per-step
+    launch overhead dominates and the fused kernel pays off most.
+
+    Layout (see ``ops/fused_step.py`` resample constants): population
+    padded to one ``[d, 8, 128]`` block with the C real chains as the
+    sublane-row-0 prefix; history packed into lane-dense ``[S, d, 128]``
+    slabs carried in ``state.history`` and updated IN-kernel.  Kernels
+    build lazily per (K, slab count, emit) — the slab count depends on
+    the run's ``n_iter`` — and memoize on the step object.  Trajectory
+    outputs are sliced to the real chains inside the jitted step (so the
+    scan never stacks pad lanes)."""
+    from .ops import fused_step as fused_mod
+    G, Np, d = de.n_groups, de.Np, spec.dim
+    C_real, B, Cf = fused_mod.resample_layout(de)
+    R = fused_mod._R
+    dtype = jnp.float32
+    _kcache = {}
+
+    def _get_kernel(K, S, emit="all"):
+        kk = (K, S, emit)
+        if kk not in _kcache:
+            # kernels build lazily, usually at trace time (the slab
+            # count S is a run property, first seen inside run_scan's
+            # jit); build_fused_step runs its host-side constant folding
+            # under ensure_compile_time_eval so this is safe
+            _kcache[kk] = fused_mod.build_fused_step(
+                model, de, spec, K=K, mig_in_kernel=False, emit=emit,
+                hist_S=S)
+        return _kcache[kk]
+
+    # validate the program (density replay, layout) once with the
+    # smallest slab count so build_step's try/except can fall back
+    _get_kernel(1, fused_mod.RESAMPLE_S_GRAN)
+
+    def _call(kern, state):
+        return kern(state.theta, state.weight, _raw_key(state.key),
+                    state.iteration, state.fire, state.history)
+
+    def _slice_t(t):           # [..., d, 8, 128] -> [..., d, C_real]
+        return t[..., 0, :C_real]
+
+    def _slice_w(w):           # [..., 8, 128] -> [..., C_real]
+        return w[..., 0, :C_real]
+
+    def step(state: SamplerState, _=None):
+        kern = _get_kernel(1, int(state.history.shape[0]))
+        t, wout, acc, fire, hist = _call(kern, state)
+        new_state = SamplerState(theta=t[0], weight=wout[0],
+                                 key=state.key,
+                                 iteration=state.iteration + 1,
+                                 history=hist, fire=fire)
+        return new_state, StepOutput(theta=_slice_t(t[0]),
+                                     accept=_slice_w(acc[0]),
+                                     lp=_slice_w(wout[0]))
+
+    sup_k = fused_mod.resample_super_k(de)
+    step.superstep_k = sup_k
+    _super = []
+
+    def get_superstep():
+        if not _super:
+            def superstep(state: SamplerState, _=None):
+                kern = _get_kernel(sup_k, int(state.history.shape[0]))
+                t, wout, acc, fire, hist = _call(kern, state)
+                new_state = SamplerState(
+                    theta=t[-1], weight=wout[-1], key=state.key,
+                    iteration=state.iteration + sup_k,
+                    history=hist, fire=fire)
+                return new_state, StepOutput(theta=_slice_t(t),
+                                             accept=_slice_w(acc),
+                                             lp=_slice_w(wout))
+            _super.append(superstep)
+        return _super[0]
+
+    step.get_superstep = get_superstep
+
+    def get_thin_step(thin):
+        def thin_step(state: SamplerState, _=None):
+            kern = _get_kernel(thin, int(state.history.shape[0]),
+                               emit="last")
+            t, wout, acc, fire, hist = _call(kern, state)
+            new_state = SamplerState(theta=t[0], weight=wout[0],
+                                     key=state.key,
+                                     iteration=state.iteration + thin,
+                                     history=hist, fire=fire)
+            return new_state, StepOutput(theta=_slice_t(t[0]),
+                                         accept=_slice_w(acc[0]),
+                                         lp=_slice_w(wout[0]))
+        return thin_step
+
+    step.get_thin_step = get_thin_step
+
+    def get_thin_superstep(thin):
+        """Device-thinned SUPERSTEP: one launch per m = sup_k//thin
+        stored draws (m·thin in-kernel iterations, strided emit), so
+        thinned runs keep amortizing the per-launch history DMA over
+        ~sup_k iterations instead of paying it per stored draw.
+        Returns ``(step_fn, m)`` with ys carrying a leading [m] axis, or
+        None when a launch would hold < 2 draws."""
+        m = max(1, sup_k // thin)
+        if m < 2:
+            return None
+
+        def thin_super(state: SamplerState, _=None):
+            kern = _get_kernel(m * thin, int(state.history.shape[0]),
+                               emit=("stride", thin))
+            t, wout, acc, fire, hist = _call(kern, state)
+            new_state = SamplerState(theta=t[-1], weight=wout[-1],
+                                     key=state.key,
+                                     iteration=state.iteration + m * thin,
+                                     history=hist, fire=fire)
+            return new_state, StepOutput(theta=_slice_t(t),
+                                         accept=_slice_w(acc),
+                                         lp=_slice_w(wout))
+        return thin_super, m
+
+    step.get_thin_superstep = get_thin_superstep
+
+    def accepts_history(H: int) -> bool:
+        """Does an H-row history fit the kernel's VMEM budget?  ``sample``
+        checks this after growing the buffer and falls back to the XLA
+        step when it doesn't (very long runs at larger C·d)."""
+        return fused_mod.resample_hist_fits(de, spec, H)
+
+    step.accepts_history = accepts_history
+
+    def pack_history(h):
+        """[H, C, d] -> lane-dense slabs [S, d, 128]: row t, chain c ->
+        slab t // B, lane (t % B)·C + c; slab count rounded up to the
+        compile-reuse granule with zero rows (never read: row draws are
+        bounded by iteration-1 < H)."""
+        H = h.shape[0]
+        S = fused_mod.resample_hist_slabs(de, H)
+        hp = h.astype(dtype)
+        if S * B > H:
+            hp = jnp.concatenate(
+                [hp, jnp.zeros((S * B - H, C_real, d), dtype)])
+        x = hp.reshape(S, B, C_real, d).transpose(0, 3, 1, 2)
+        x = x.reshape(S, d, B * C_real)
+        if B * C_real < Cf:
+            x = jnp.concatenate(
+                [x, jnp.zeros((S, d, Cf - B * C_real), dtype)], axis=-1)
+        return x
+
+    def to_fused(state: SamplerState) -> SamplerState:
+        if state.fire is not None:
+            return state
+        th = state.theta.reshape(C_real, d).astype(dtype).T     # [d, C]
+        th_pad = jnp.zeros((d, R * Cf), dtype).at[:, :C_real].set(th)
+        w_pad = jnp.full((R * Cf,), -jnp.inf, dtype).at[:C_real].set(
+            state.weight.reshape(C_real).astype(dtype))
+        return state._replace(
+            theta=th_pad.reshape(d, R, Cf), weight=w_pad.reshape(R, Cf),
+            history=pack_history(state.history),
+            fire=jnp.zeros((1, 1), jnp.int32))      # alpha == 0 gate
+
+    def from_fused(state: SamplerState) -> SamplerState:
+        return _unpack_fused_state(state, G, Np, d)
+
+    step.fused = True
+    step.resample_fused = True
+    step.to_fused = to_fused
+    step.from_fused = from_fused
+    return step
+
+
 def _unpack_fused_state(state: SamplerState, G: int, Np: int,
                         d: int) -> SamplerState:
     """Fused kernel layout (theta ``[d, 8, C/8]``, weight ``[8, C/8]``,
     ``fire`` set) back to the XLA layout (``[G, Np, d]`` / ``[G, Np]``,
     ``fire=None``).  The single inverse of ``step.to_fused`` — used by the
     fused step's ``from_fused`` and by ``sample`` when a fused-layout
-    checkpoint resumes on the XLA path."""
+    checkpoint resumes on the XLA path.  Pad-aware: resample-mode states
+    carry a PADDED population (real chains = row-major prefix of the
+    [d, 8, 128] block) plus the lane-packed history slabs, both of which
+    unpack here (pad values are garbage by construction and dropped)."""
     if state.fire is None:
         return state
     C = G * Np
+    th2 = state.theta.reshape(d, -1)            # [d, C or padded]
+    history = state.history
+    if history is not None:
+        # packed resample slabs [S, d, lanes] -> [S·B, C, d]
+        S, _, lanes = history.shape
+        B = lanes // C
+        x = history[:, :, :B * C].reshape(S, d, B, C)
+        history = x.transpose(0, 2, 3, 1).reshape(S * B, C, d)
     return state._replace(
-        theta=state.theta.reshape(-1, C).T.reshape(G, Np, d),
-        weight=state.weight.reshape(G, Np), fire=None)
+        theta=th2[:, :C].T.reshape(G, Np, d),
+        weight=state.weight.reshape(-1)[:C].reshape(G, Np),
+        history=history, fire=None)
 
 
 def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
@@ -781,9 +964,17 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
     if sup_k and thin == 1 and n_iter >= sup_k:
         sup_fn = base_step.get_superstep()
         sup_k = base_step.superstep_k    # authoritative once built
+    elif thin > 1 and hasattr(base_step, "get_thin_superstep"):
+        # device-thinned superstep (fused resample path): each call
+        # advances sup_k STORED draws (= sup_k·thin iterations) in one
+        # launch with strided in-kernel emit; n_iter is already in
+        # stored-draw units here
+        got = base_step.get_thin_superstep(thin)
+        if got is not None and n_iter >= got[1]:
+            sup_fn, sup_k = got
     super_scan = None
     if sup_fn is not None:
-        super_scan = jit_cache.get(("super", collect))
+        super_scan = jit_cache.get(("super", collect, thin))
         if super_scan is None:
             @jax.jit
             def super_scan(s, n_dummy):
@@ -795,7 +986,7 @@ def run_scan(step, state: SamplerState, n_iter: int, progress: bool = False,
                     lambda a: a.reshape((a.shape[0] * a.shape[1],)
                                         + a.shape[2:]), ys)
                 return s, ys
-            jit_cache[("super", collect)] = super_scan
+            jit_cache[("super", collect, thin)] = super_scan
 
     def run_chunk(s, n):
         return chunk_scan(s, jnp.zeros((n,), jnp.int8))
@@ -926,6 +1117,12 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     spec = make_spec(model, de)
     if state is None:
         state = init_state(model, de, spec, key)
+    if state.fire is not None and state.history is not None:
+        # fused-resample checkpoint: unpack the lane-packed history slabs
+        # so the buffer can grow; to_fused repacks below (real-chain
+        # values round-trip exactly — alpha is 0 on this path, so the
+        # redrawn migration gate is the same constant 0)
+        state = _unpack_fused_state(state, de.n_groups, de.Np, spec.dim)
     # grow the resample-history buffer for this run's rows — also on
     # RESUMED states (a checkpointed history only covers past iterations;
     # without growth, new writes/reads would clamp to the last row)
@@ -938,6 +1135,11 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     # falling back to the GSPMD-partitioned XLA step otherwise)
     step = build_step(model, de, spec, mesh=mesh)
     fused = getattr(step, "fused", False)
+    if (fused and getattr(step, "resample_fused", False)
+            and not step.accepts_history(int(state.history.shape[0]))):
+        # this run's history would exceed the kernel's VMEM budget
+        step = build_step(model, de, spec, allow_fused=False, mesh=mesh)
+        fused = False
     if not fused and state.fire is not None:   # fused checkpoint, XLA run
         state = _unpack_fused_state(state, de.n_groups, de.Np, spec.dim)
     state = _shard_state(state, mesh)     # layout-aware (XLA or fused)

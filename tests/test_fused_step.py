@@ -176,6 +176,197 @@ def test_fused_matches_xla_statistically(interpret, monkeypatch):
                                xla.data.std(axis=(0, 2)), atol=0.03)
 
 
+# ---------------------------------------------------------------------------
+# fused resample (DE-MCz) path — reference src/crossover.jl:103-140 via the
+# padded [d, 8, 128] layout + in-kernel history (ops/fused_step.py)
+# ---------------------------------------------------------------------------
+
+def _make_resample(**kw):
+    kw.setdefault("Np", 4)
+    kw.setdefault("n_groups", 1)
+    kw.setdefault("alpha", 0.0)
+    kw.setdefault("sample", "resample")
+    kw.setdefault("n_initial", 20)
+    kw.setdefault("burnin", 100)
+    kw.setdefault("theta_snooker", 0.3)
+    return gaussian.make(data=F32_DATA, **kw)
+
+
+def test_resample_supported_predicate(interpret):
+    model, de = _make_resample()
+    assert fused_step.supported(model, de, make_spec(model, de))
+    for bad in (dict(n_groups=4, Np=4, alpha=0.1),  # migration + resample
+                dict(Np=64, n_groups=3),            # C > 128 (pad row 0)
+                dict(n_initial=0),
+                dict(update_particle="maximize",
+                     evaluate_fitness="fun"),       # optimization mode
+                dict(blocking_on=True,
+                     blocks=[[True, False], [False, True]])):
+        m2, d2 = _make_resample(**bad)
+        assert not fused_step.supported(m2, d2, make_spec(m2, d2)), bad
+
+
+def test_resample_history_written_in_kernel(interpret):
+    """store_samples! semantics (utilities.jl:161-180): every stored
+    trajectory row lands in the packed history exactly, and the
+    n_initial prior-seed rows survive the fused run untouched."""
+    from demcmc_tpu.sampler import _grow_history, init_state, run_scan
+    model, de = _make_resample(burnin=5)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert getattr(step, "resample_fused", False)
+    state = step.to_fused(
+        _grow_history(init_state(model, de, spec, 0), 12))
+    state, ys = run_scan(step, state, 12)
+    su = step.from_fused(state)
+    h = np.asarray(su.history)
+    traj = np.swapaxes(np.asarray(ys.theta), 1, 2)       # [T, C, d]
+    ni = de.n_initial
+    np.testing.assert_array_equal(h[ni:ni + 12], traj)
+    seed = np.asarray(init_state(model, de, spec, 0).history)
+    np.testing.assert_array_equal(h[:ni], seed)
+
+
+def test_resample_superstep_and_thin_bitwise(interpret, monkeypatch):
+    """K-superstep and emit='last' thin launches are bitwise identical
+    to K single launches — including the per-iteration SMEM partner
+    indices (folded per iteration, not per launch)."""
+    from demcmc_tpu.sampler import _grow_history, init_state, run_scan
+    model, de = _make_resample(burnin=5)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    st = step.to_fused(_grow_history(init_state(model, de, spec, 0), 18))
+    _, ys1 = run_scan(step, st, 18, progress_chunks=1)
+
+    monkeypatch.setenv("DEMCMC_SUPER_K", "6")
+    model2, de2 = _make_resample(burnin=5)
+    step2 = build_step(model2, de2, spec)
+    assert step2.superstep_k == 6
+    st2 = step2.to_fused(
+        _grow_history(init_state(model2, de2, spec, 0), 12))
+    _, ys2 = run_scan(step2, st2, 12, progress_chunks=1)
+    np.testing.assert_array_equal(np.asarray(ys1.theta[:12]),
+                                  np.asarray(ys2.theta))
+    np.testing.assert_array_equal(np.asarray(ys1.accept[:12]),
+                                  np.asarray(ys2.accept))
+
+    # thin=3 with SUPER_K=6 -> thin-SUPERSTEP launches of m=2 stored
+    # draws (strided emit) + a single-draw remainder: 15 iters = 5
+    # stored = 2 supers + 1 thin_step
+    st3 = step2.to_fused(
+        _grow_history(init_state(model2, de2, spec, 0), 15))
+    _, ys3 = run_scan(step2, st3, 15, thin=3)
+    np.testing.assert_array_equal(np.asarray(ys3.theta),
+                                  np.asarray(ys1.theta[2:15:3]))
+    np.testing.assert_array_equal(np.asarray(ys3.accept),
+                                  np.asarray(ys1.accept[2:15:3]))
+
+
+def test_resample_resume_bitwise(interpret):
+    """Resume is bitwise on the real chains, from BOTH state layouts:
+    the unpacked [H, C, d] state sample() returns, and a raw
+    fused-layout state (padded population + packed history slabs, what
+    a mid-run checkpoint holds) — unpack -> grow -> repack is an exact
+    round trip and the partner-index stream is iteration-keyed."""
+    from demcmc_tpu.sampler import _grow_history, init_state, run_scan
+    model, de = _make_resample(burnin=10, discard_burnin=False)
+    full = sample(model, de, 60, key=9)
+    _, st = sample(model, de, 30, key=9, return_state=True)
+    assert st.fire is None                  # sample returns XLA layout
+    tail = sample(model, de, 30, key=9, state=st)
+    assert np.array_equal(full.data[-len(tail):], tail.data)
+    # raw packed-layout resume (the checkpoint_every mid-run format)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    st_p = step.to_fused(
+        _grow_history(init_state(model, de, spec, 9), 30))
+    st_p, _ = run_scan(step, st_p, 30)
+    assert st_p.fire is not None and st_p.history.shape[-1] == 128
+    tail2 = sample(model, de, 30, key=9, state=st_p)
+    assert np.array_equal(full.data[-len(tail2):], tail2.data)
+
+
+@pytest.mark.slow
+def test_resample_fused_matches_oracle(interpret):
+    """The fused DE-MCz path targets the right posterior (quadrature
+    oracle, the role NUTS plays in multivariate_normal_tests.jl)."""
+    model, de = _make_resample(Np=6, n_initial=40, burnin=500)
+    chains = sample(model, de, 2500, key=11)
+    ref = gaussian.posterior_grid(F32_DATA)
+    means = chains.data.mean(axis=(0, 2))
+    stds = chains.data.std(axis=(0, 2))
+    assert abs(means[0] - ref["mu"]["mean"]) < 0.05
+    assert abs(means[1] - ref["sigma"]["mean"]) < 0.05
+    assert abs(stds[0] - ref["mu"]["std"]) < 0.05
+    assert abs(stds[1] - ref["sigma"]["std"]) < 0.05
+    assert 0.1 < chains.acceptance.mean() < 0.9
+
+
+def test_lgamma_override_accuracy():
+    """The in-kernel lgamma replacement (shift-up + Stirling) tracks
+    scipy's float64 gammaln to f32 precision over the zoo's range."""
+    from scipy.special import gammaln
+    x = np.concatenate([np.linspace(0.05, 2, 200),
+                        np.linspace(2, 50, 300),
+                        np.linspace(50, 5000, 200)]).astype(np.float32)
+    got = np.asarray(fused_step._lgamma32(jax.numpy.asarray(x)))
+    want = gammaln(x.astype(np.float64))
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+    assert rel.max() < 1e-5
+
+
+def test_fused_discrete_binomial_matches_xla(interpret, monkeypatch):
+    """Integer-parameter (round-and-cast, utilities.jl:360-369) models
+    fuse: chains stay integral and the posterior matches the XLA step."""
+    from demcmc_tpu.models import discrete_binomial
+    model, de = discrete_binomial.make(key=0, n_obs=60, Np=8, n_groups=16,
+                                       burnin=300, dtype=np.float32)
+    spec = make_spec(model, de)
+    assert spec.has_int and fused_step.supported(model, de, spec)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    ch = sample(model, de, 900, key=3)
+    N = ch.group("N")
+    assert np.all(N == np.round(N))          # in-kernel integer snap
+    monkeypatch.setenv("DEMCMC_FUSED", "off")
+    m2, d2 = discrete_binomial.make(key=0, n_obs=60, Np=8, n_groups=16,
+                                    burnin=300, dtype=np.float32)
+    ch2 = sample(m2, d2, 900, key=3)
+    assert abs(N.mean() - ch2.group("N").mean()) < 1.0
+    assert abs(ch.mean("p") - ch2.mean("p")) < 0.05
+
+
+@pytest.mark.slow
+def test_fused_pseudo_marginal_matches_conjugate(interpret):
+    """Stochastic (pseudo-marginal) models with a declared noise panel
+    fuse: fresh in-kernel uniforms drive the inverse-CDF simulation and
+    the chain still targets the exact conjugate posterior (the
+    Andrieu-Roberts guarantee)."""
+    from demcmc_tpu.models import binomial
+    model, de = binomial.make(N=10, k=6, abc=True, fresh_noise=True,
+                              n_sim=400, Np=8, n_groups=16, burnin=300)
+    spec = make_spec(model, de)
+    assert model.stochastic and fused_step.supported(model, de, spec)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    ch = sample(model, de, 1200, key=7)
+    truth = binomial.conjugate_posterior(10, 6)
+    assert abs(ch.mean("theta") - truth["mean"]) < 0.03
+    assert abs(float(ch.data.std()) - truth["std"]) < 0.03
+    assert 0.2 < ch.acceptance.mean() < 0.95
+
+
+def test_fused_stochastic_requires_noise_panel(interpret):
+    """Without DEModel.noise_shape a stochastic model stays on the XLA
+    path (its density draws from a key, not replayable in-kernel)."""
+    from demcmc_tpu.models import abc_kde
+    model, de = abc_kde.make(key=3, n_obs=50, n_sim=200, Np=8,
+                             n_groups=16, burnin=100, fresh_noise=True)
+    spec = make_spec(model, de)
+    assert model.stochastic and model.noise_shape is None
+    assert not fused_step.supported(model, de, spec)
+
+
 def test_f64_model_falls_back(interpret):
     """x64 data traces f64 ops: the fused build must refuse and fall back
     to the XLA step rather than produce a wrong-dtype kernel."""
@@ -288,7 +479,9 @@ def test_in_kernel_migration_multiset(interpret):
 
 @pytest.mark.parametrize("seed,G,Np", [(0, 64, 4), (1, 1024, 4),
                                        (2, 128, 6), (3, 2048, 16),
-                                       (4, 4096, 3)])
+                                       (4, 4096, 3),
+                                       (5, 24, 8), (6, 192, 4),
+                                       (7, 320, 5)])
 def test_sorted_migration_matches_oracle(interpret, seed, G, Np):
     """The bitonic rank-network migration (the default in-kernel
     variant) computes EXACTLY the reference permutation — same oracle
@@ -299,7 +492,10 @@ def test_sorted_migration_matches_oracle(interpret, seed, G, Np):
     scatter-widen) geometry with the UNROLLED network, G=4096/Np=3 the
     compact geometry with the LOOP-ROLLED network (dynamic rotates —
     the production path for the 65k-chain configs), the others the
-    strided one."""
+    strided one.  G ∈ {24, 192, 320} have NON-power-of-two Gr = G//8
+    (3, 24, 40): the compact lattice pads to the next power of two with
+    +inf-keyed virtual elements (universal in-kernel migration, round
+    4) — bitexactness here proves pads never mix with real groups."""
     rng_ = np.random.default_rng(seed)
     d = 3
     theta = (rng_.standard_normal((G, Np, d)) * 1e3
