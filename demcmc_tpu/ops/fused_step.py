@@ -256,6 +256,8 @@ def resample_super_k(de) -> int:
         return int(env)
     C = de.n_groups * de.Np
     n_slots = 2 + (3 if float(de.theta_snooker) > 0.0 else 0)
+    if de.sequential_sweep:
+        n_slots *= de.Np      # one tuple set per member per iteration
     k = RESAMPLE_SMEM_IDX // (n_slots * C)
     return max(16, min(256, (k // 16) * 16))
 
@@ -1069,6 +1071,11 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     C = G * Np
     R = _R
     resample = bool(de.uses_resample)
+    # sequential (reference-exact in-place) sweep: Np masked sub-sweeps
+    # per iteration — see DE.sweep; 'auto' resolves it for Np <= 4 where
+    # the synchronous form's invariance bias is material
+    seq = bool(de.sequential_sweep)
+    n_members = de.Np if seq else 1
     if resample:
         C_real, B_hist, Cf = resample_layout(de)
         C = R * Cf                    # padded chain count (layout/draws)
@@ -1079,6 +1086,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     else:
         C_real, Cf = C, C // R
         S_hist = n_slots = 0
+    n_slots_tot = n_slots * n_members
     Gr = max(Cf // Np, 1)             # groups per sublane row (G == R·Gr)
     HIGH = jax.lax.Precision.HIGHEST  # bitexact one-hot contractions
     dt = jnp.float32
@@ -1451,21 +1459,28 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     if mig_in_kernel:
         n_words += 3                                  # ranks, N, gumbel
     # resample mode: partner/snooker-triple indices come from SMEM
-    # (precomputed in XLA), not from in-kernel draws
-    per_sweep = 0 if resample else 2                  # partner draws
+    # (precomputed in XLA), not from in-kernel draws.  One "sub-sweep" =
+    # one masked pass (sequential mode runs n_members of them per sweep;
+    # the β-mutation gate is then drawn ONCE per sweep, per group, like
+    # main.jl:199-207)
+    per_sub = 0 if resample else 2                    # partner draws
     if is_random_gamma:
-        per_sweep += 3                                # u_base, g1, g2
+        per_sub += 3                                  # u_base, g1, g2
     if theta_s > 0.0:
-        per_sweep += 2 if resample else 5             # [z/m/n,] γ, gate
+        per_sub += 2 if resample else 5               # [z/m/n,] γ, gate
     if eps > 0.0:
-        per_sweep += d
+        per_sub += d
     if kappa < 1.0:
-        per_sweep += d
+        per_sub += d
+    gate_words = 1 if beta > 0.0 else 0
     if beta > 0.0:
-        per_sweep += 1 + 2 * d                        # gate + Box-Muller
-    per_sweep += noise_words                          # pseudo-marginal
-    per_sweep += 1                                    # accept
-    n_words += per_sweep * n_sweeps                   # one sweep per block
+        per_sub += 2 * d                              # Box-Muller
+    if not seq:
+        per_sub += gate_words                         # gate inside sweep
+    per_sub += noise_words                            # pseudo-marginal
+    per_sub += 1                                      # accept
+    n_words += (per_sub * n_members
+                + (gate_words if seq else 0)) * n_sweeps
     n_words += 1                                      # fire look-ahead
 
     tiny = np.float32(np.finfo(np.float32).tiny)
@@ -1617,13 +1632,16 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     theta_sc[i] = nt[i]
                 w_sc[:] = nw
 
-        def one_sweep(theta, w, bkeep):
-            """One mutate-or-crossover sweep over the population
+        def one_sweep(theta, w, bkeep, member=None, mut_gate=None):
+            """One mutate-or-crossover sub-sweep over the population
             (``crossover.jl:12-99``).  ``bkeep`` is a STATIC [d] bool
             block mask (or None): non-block dims of the proposal revert
             to current values before the snooker MH correction —
             ``reset!`` semantics (``crossover.jl:84-87,336-352``); the
-            β-mutation branch ignores the mask (``main.jl:199-207``)."""
+            β-mutation branch ignores the mask (``main.jl:199-207``).
+            ``member`` (sequential mode) masks the accept to one group
+            slot; ``mut_gate`` then carries the per-group mutation gate
+            drawn once per sweep."""
             # ---- partner indices: 2 distinct non-self draws (shift
             # trick, crossover.jl:138-140 semantics) ----------------------
             m = Np - 1
@@ -1637,7 +1655,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             pm = _seg_gather(rolls, a, p, Np)      # [d, R, Cf]
             pn = _seg_gather(rolls, b, p, Np)
 
-            return _sweep_tail(theta, w, bkeep, rolls, pm, pn)
+            return _sweep_tail(theta, w, bkeep, rolls, pm, pn,
+                               member=member, mut_gate=mut_gate)
 
         if resample:
             lane_h = jax.lax.broadcasted_iota(jnp.int32, (d, Cf), 1)
@@ -1656,7 +1675,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 on-chip); flat it costs its true 4·K·slots·C bytes."""
                 buf = jnp.zeros((d, R, Cf), dt)
                 for c in range(C_real):
-                    packed = idx_ref[(k * n_slots + slot) * C_real + c]
+                    packed = idx_ref[(k * n_slots_tot + slot)
+                                     * C_real + c]
                     slab = packed // np.int32(Cf)
                     ln = packed % np.int32(Cf)
                     slabv = hist_sc[pl.ds(slab, 1)].reshape(d, Cf)
@@ -1669,23 +1689,29 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     buf = jnp.where((rowI == 0) & (lane == c), col3, buf)
                 return buf
 
-            def one_sweep_resample(theta, w):
-                """The resample-mode sweep: DE partners (and the snooker
-                triple) come from the HISTORY (crossover.jl:113-124 via
-                the de.sample slot), not the current group; the softmax
-                base-select stays group-local (crossover.jl:158,282-289).
-                The roll dictionary is only needed pre-burnin (base
-                gather), so _sweep_tail builds it lazily inside that
-                pl.when region."""
-                pm = fetch_hist(0)
-                pn = fetch_hist(1)
+            def one_sweep_resample(theta, w, member=None, mut_gate=None):
+                """The resample-mode sub-sweep: DE partners (and the
+                snooker triple) come from the HISTORY
+                (crossover.jl:113-124 via the de.sample slot), not the
+                current group; the softmax base-select stays group-local
+                (crossover.jl:158,282-289).  The roll dictionary is only
+                needed pre-burnin (base gather), so _sweep_tail builds
+                it lazily inside that pl.when region.  Sequential mode:
+                each member consumes its OWN slot block of the
+                precomputed indices (member-major layout)."""
+                base = 0 if member is None else member * n_slots
+                pm = fetch_hist(base + 0)
+                pn = fetch_hist(base + 1)
                 sn = None
                 if theta_s > 0.0:
-                    sn = (fetch_hist(2), fetch_hist(3), fetch_hist(4))
+                    sn = (fetch_hist(base + 2), fetch_hist(base + 3),
+                          fetch_hist(base + 4))
                 return _sweep_tail(theta, w, None, None, pm, pn,
-                                   sn_partners=sn)
+                                   sn_partners=sn, member=member,
+                                   mut_gate=mut_gate)
 
-        def _sweep_tail(theta, w, bkeep, rolls, pm, pn, sn_partners=None):
+        def _sweep_tail(theta, w, bkeep, rolls, pm, pn, sn_partners=None,
+                        member=None, mut_gate=None):
             if is_random_gamma:
                 u_b = uni(1)
                 g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
@@ -1800,8 +1826,12 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 log_adj = jnp.where(sn_gate, adj, np.float32(0.0))
 
             if beta > 0.0:                             # β-mutation per group
-                gate = uni(1)
-                gate = _seg_leader_bcast(gate, p, Np)  # one draw per group
+                if mut_gate is None:
+                    gate = uni(1)
+                    gate = _seg_leader_bcast(gate, p, Np)  # one per group
+                else:
+                    gate = mut_gate                    # sequential: per
+                    # sweep (main.jl:199-207), drawn by run_sweeps
                 u1 = jnp.maximum(uni(d), tiny)
                 u2 = uni(d)
                 nrm = jnp.sqrt(np.float32(-2.0) * jnp.log(u1)) \
@@ -1855,23 +1885,45 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 acc = w_prop > w
             else:
                 acc = w_prop < w
+            if member is not None:
+                acc = acc & (p == member)   # sequential: this sub-sweep
+                # commits only group slot `member` (crossover.jl:12-17)
             new_t = jnp.where(acc, prop, theta)
             new_w = jnp.where(acc, w_prop, w)
             return new_t, new_w, acc
 
+        def run_sweeps(theta, w, bkeep):
+            """One reference sweep: synchronous (one vectorized pass) or
+            sequential (reference-exact: n_members masked sub-sweeps,
+            partners recomputed from the partially-updated group —
+            crossover.jl:12-17; the synchronous form's invariance bias
+            at small Np is documented on DE.sweep)."""
+            do = one_sweep_resample if resample else \
+                (lambda t, ww, m=None, g=None: one_sweep(t, ww, bkeep,
+                                                         member=m,
+                                                         mut_gate=g))
+            if not seq:
+                return do(theta, w)
+            mg = None
+            if beta > 0.0:
+                mg = _seg_leader_bcast(uni(1), p, Np)
+            acc_tot = jnp.zeros((R, Cf), jnp.bool_)
+            for p0 in range(Np):
+                theta, w, acc = do(theta, w, p0, mg)
+                acc_tot = acc_tot | acc     # acc already member-masked
+            return theta, w, acc_tot
+
         theta = theta_sc[:]                        # [d, R, Cf]
         w = w_sc[:]                                # [R, Cf]
-        if resample:
-            new_t, new_w, acc = one_sweep_resample(theta, w)
-        elif blocks_flat is None:
-            new_t, new_w, acc = one_sweep(theta, w, None)
+        if blocks_flat is None:
+            new_t, new_w, acc = run_sweeps(theta, w, None)
         else:
             # block_update! (main.jl:174-179): one full sweep per block,
             # later blocks see earlier blocks' accepts; accept/lp of the
             # LAST block are what gets recorded (utilities.jl:201-210
             # overwrites once per block)
             for bkeep in blocks_flat:
-                new_t, new_w, acc = one_sweep(theta, w, bkeep)
+                new_t, new_w, acc = run_sweeps(theta, w, bkeep)
                 theta, w = new_t, new_w
         theta_sc[:] = new_t
         w_sc[:] = new_w
@@ -2004,16 +2056,22 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         def one_iter(it_k):
             kd = rng.KeyDraws(jax.random.fold_in(kres, it_k))
             count = jnp.maximum(it_k - 1, 1)
+            # one tuple set per MEMBER (sequential mode: each sub-sweep
+            # draws its own pair/triple; n_members == 1 in sync mode),
+            # distinct WITHIN each (member, chain) tuple
             rows, chains_ = proposal_ops.resample_flat_indices(
-                kd, 2, count, C_real, (C_real,))
+                kd, 2, count, C_real, (n_members, C_real))
             if theta_s > 0.0:
                 r2, c2 = proposal_ops.resample_flat_indices(
-                    kd, 3, count, C_real, (C_real,))
-                rows = jnp.concatenate([rows, r2])
+                    kd, 3, count, C_real, (n_members, C_real))
+                rows = jnp.concatenate([rows, r2])       # [slots, M, C]
                 chains_ = jnp.concatenate([chains_, c2])
             slab = rows // B_hist
             lanep = (rows % B_hist) * C_real + chains_
-            return (slab * Cf + lanep).astype(jnp.int32)  # [slots, C]
+            packed = (slab * Cf + lanep).astype(jnp.int32)
+            # member-major slot order (fetch index member·n_slots + s)
+            return jnp.transpose(packed, (1, 0, 2)).reshape(
+                n_slots_tot, C_real)
 
         its = it32 + jnp.arange(K, dtype=jnp.int32)
         # FLAT layout (see fetch_hist): [K·slots·C] — an N-D SMEM array

@@ -34,6 +34,7 @@ NEXT_KEY = 20       # ProposalContext.next_key substream
 EVAL = 21           # stochastic (pseudo-marginal) likelihood evaluations
 MIGRATE = 22        # fused-path migration draws (exchange fired by `fire`)
 RESAMPLE = 23       # fused-path resample (DE-MCz) partner-index draws
+MEMBER = 24         # per-member subkeys in sequential (in-place) sweeps
 
 
 def step_key(base_key: jax.Array, iteration) -> jax.Array:

@@ -660,9 +660,21 @@ def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
     if de.blocks is not None:
         block_masks = [jnp.asarray(flatten_block(spec, b)) for b in de.blocks]
 
-    def do_update(draws, theta, weight, iteration, history, key, block_mask):
+    seq_sweep = de.sequential_sweep
+
+    def do_update(draws, theta, weight, iteration, history, key, block_mask,
+                  member=None, mut_mask=None):
         """One mutate-or-crossover sweep over all groups (reference
-        ``mutate_or_crossover!``, ``src/main.jl:199-207``)."""
+        ``mutate_or_crossover!``, ``src/main.jl:199-207``).  With
+        ``member`` set (sequential mode), proposals are computed for the
+        whole population but the accept applies ONLY to group slot
+        ``member`` — the reference's in-place sweep semantics
+        (``crossover.jl:12-17``) one masked sub-sweep at a time;
+        ``mut_mask`` then carries the per-group mutation gate drawn once
+        per sweep (``main.jl:199-207`` draws it per GROUP, not per
+        particle)."""
+        if member is not None:
+            key = jax.random.fold_in(key, rng.MEMBER * 1000 + member)
         k_custom = jax.random.fold_in(key, rng.CUSTOM)
         ctx = proposal_ops.ProposalContext(
             de=de, spec=spec, theta=theta, weight=weight,
@@ -689,7 +701,8 @@ def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
         # --- mutation branch (per-group Bernoulli(β); mutation ignores
         # block masks, matching src/main.jl:199-207) ----------------------
         if de.beta > 0.0:
-            mut_mask = draws.uniform((G,)) <= de.beta
+            if mut_mask is None:
+                mut_mask = draws.uniform((G,)) <= de.beta
             mut_prop = mutation_ops.mutate(draws, theta, de.sigma)
             prop = jnp.where(mut_mask[:, None, None], mut_prop, cross)
             log_adj = jnp.where(mut_mask[:, None], 0.0, log_adj)
@@ -710,9 +723,33 @@ def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
         acc_src = draws if builtin_update else jax.random.fold_in(
             key, rng.ACCEPT)
         acc = update_fn(acc_src, weight, w_prop, log_adj)
+        if member is not None:
+            acc = acc & (jnp.arange(Np)[None, :] == member)
         theta, weight = accept_ops.apply_accept(theta, weight, prop,
                                                 w_prop, acc)
         return theta, weight, acc
+
+    def sweep_update(draws, theta, weight, it, history, key, bmask):
+        """One reference 'sweep' (mutate_or_crossover! over every group):
+        synchronous (one vectorized pass from iteration-start state) or,
+        when ``de.sequential_sweep``, the reference-EXACT in-place order —
+        Np masked sub-sweeps, each recomputing partners/base from the
+        partially-updated population (``crossover.jl:12-17``).  The
+        synchronous form is not exactly invariant at small Np (see the
+        ``DE.sweep`` docstring); 'auto' resolves by group size."""
+        if not seq_sweep:
+            return do_update(draws, theta, weight, it, history, key, bmask)
+        mut_mask = None
+        if de.beta > 0.0:
+            # per-GROUP gate, once per sweep like main.jl:199-207
+            mut_mask = draws.uniform((G,)) <= de.beta
+        acc_tot = jnp.zeros((G, Np), bool)
+        for p0 in range(Np):
+            theta, weight, acc = do_update(draws, theta, weight, it,
+                                           history, key, bmask,
+                                           member=p0, mut_mask=mut_mask)
+            acc_tot = acc_tot | acc
+        return theta, weight, acc_tot
 
     def step_core(draws, theta, weight, it, history, kit):
         # 1. migration with probability α (src/main.jl:85)
@@ -721,13 +758,14 @@ def _build_step_uncached(model: DEModel, de: DE, spec: ParamSpec):
 
         # 2. block_update! or mutate_or_crossover! (src/main.jl:161-207)
         def plain(theta, weight):
-            return do_update(draws, theta, weight, it, history, kit, None)
+            return sweep_update(draws, theta, weight, it, history, kit,
+                                None)
 
         def blocked(theta, weight):
             for bi, bmask in enumerate(block_masks):
                 kb = jax.random.fold_in(kit, rng.BLOCK * 1000 + bi)
-                theta, weight, acc = do_update(draws, theta, weight, it,
-                                               history, kb, bmask)
+                theta, weight, acc = sweep_update(draws, theta, weight,
+                                                  it, history, kb, bmask)
             # accept/lp from the last block — the reference's mh_update!
             # overwrites accept[iter]/lp[iter] once per block
             # (src/utilities.jl:201-210), so the final block wins there too.

@@ -28,6 +28,11 @@ def _make(**kw):
     kw.setdefault("Np", 4)
     kw.setdefault("n_groups", 32)
     kw.setdefault("burnin", 500)
+    # these tests exercise the SYNCHRONOUS sweep machinery (the large-
+    # population default); Np=4 would auto-resolve to the sequential
+    # sweep, which has its own dedicated tests below at 1/4 the
+    # interpret-mode cost here
+    kw.setdefault("sweep", "sync")
     return gaussian.make(data=F32_DATA, **kw)
 
 
@@ -189,6 +194,7 @@ def _make_resample(**kw):
     kw.setdefault("n_initial", 20)
     kw.setdefault("burnin", 100)
     kw.setdefault("theta_snooker", 0.3)
+    kw.setdefault("sweep", "sync")    # see _make; sequential below
     return gaussian.make(data=F32_DATA, **kw)
 
 
@@ -749,23 +755,37 @@ def test_superstep_k_env_override_bitwise(interpret, monkeypatch):
 
 
 @pytest.mark.tpu
-@pytest.mark.parametrize("variant", ["onehot", "sorted"])
-def test_in_kernel_migration_bitexact_on_tpu(variant):
-    """On-chip run of the oracle test: catches MXU rounding (the one-hot
-    contractions must be exact at Precision.HIGHEST on real hardware)
-    and real-lowering divergence of the sorted rank network."""
+@pytest.mark.parametrize("variant,G,Np", [
+    ("onehot", 32, 4),        # [G, G] one-hot matrices
+    ("sorted", 32, 4),        # strided UNROLLED network
+    ("sorted", 1024, 4),      # compact-unrolled (barrel-compress/widen)
+    ("sorted", 4096, 3),      # compact LOOP-ROLLED (dynamic rotates) —
+    #                           the production path for 65k-chain configs
+    ("sorted", 192, 4),       # padded-compact (non-power-of-two Gr=24)
+    ("sorted", 320, 5),       # padded-compact (Gr=40 -> 64)
+])
+def test_in_kernel_migration_bitexact_on_tpu(variant, G, Np):
+    """On-chip run of the oracle test over EVERY migration geometry:
+    catches MXU rounding (the one-hot contractions must be exact at
+    Precision.HIGHEST on real hardware) and real-lowering divergence of
+    the sorted rank network — the compact barrel-compress/scatter-widen
+    path, the loop-rolled dynamic-rotate network, and the round-4
+    padded-compact lattice are exactly the construct classes the
+    probe_mosaic scripts show can diverge or crash under real Mosaic
+    lowering (ADVICE r3)."""
     if jax.default_backend() != "tpu":
         pytest.skip("needs the real TPU")
     rng_ = np.random.default_rng(3)
-    G, Np, d = 32, 4, 3
+    d = 3
     theta = (rng_.standard_normal((G, Np, d)) * 1e3
              + rng_.random((G, Np, d)) * 1e-4).astype(np.float32)
     w = rng_.standard_normal((G, Np)).astype(np.float32)
     u = rng_.random(G).astype(np.float32)
     gum = rng_.gumbel(size=(G, Np)).astype(np.float32)
-    got_t, got_w = _run_mig_kernel(theta, w, u, 17, gum, interpret=False,
-                                   variant=variant)
-    want_t, want_w = _np_migration_oracle(theta, w, u, 17, gum)
+    n_act = min(17, G)
+    got_t, got_w = _run_mig_kernel(theta, w, u, n_act, gum,
+                                   interpret=False, variant=variant)
+    want_t, want_w = _np_migration_oracle(theta, w, u, n_act, gum)
     np.testing.assert_array_equal(got_t, want_t)
     np.testing.assert_array_equal(got_w, want_w)
 
