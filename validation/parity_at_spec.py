@@ -90,6 +90,12 @@ def run_mvn():
     assert de.Np == 3 and de.n_groups == 1 and de.n_initial == (d + 1) * 4
     chains = dm.sample(model, de, n_iter, key=3)
     elapsed = time.perf_counter() - t0
+    # the cold wall is dominated by one-time remote Mosaic compiles of
+    # the sequential-sweep resample kernels; record the warm cost too
+    # (the step cache on the model makes a second run compile-free)
+    t1 = time.perf_counter()
+    dm.sample(model, de, n_iter, key=3)
+    warm = time.perf_counter() - t1
 
     mu = chains.group("mu")                       # [Ns, d, C]
     means = mu.mean(axis=(0, 2))
@@ -114,7 +120,8 @@ def run_mvn():
     return record(
         "30-dim MVN, Np=3, resample+snooker, 50k iters "
         "(multivariate_normal_tests.jl:49-69)", checks, elapsed,
-        f"n_chains=3, draws kept={mu.shape[0]}")
+        f"n_chains=3, draws kept={mu.shape[0]}; "
+        f"warm rerun {warm:.1f}s (cold wall is kernel-compile bound)")
 
 
 def run_lnr():
