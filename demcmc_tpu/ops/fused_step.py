@@ -202,7 +202,13 @@ def supported(model, de, spec) -> bool:
 RESAMPLE_CF = 128          # padded lane width (population and history)
 RESAMPLE_MAX_C = 128       # real chains must fit one sublane row
 RESAMPLE_S_GRAN = 64       # slab-count rounding granule (compile reuse)
-RESAMPLE_HIST_VMEM = 48 * 1024 * 1024   # history VMEM budget (bytes)
+# History VMEM budget: the flagship MVN config's 50k-iteration history
+# (~19 MB packed) runs; ~37 MB (100k rows) compiles but ABORTS the
+# device at kernel load (observed on v5e 2026-08-20 — the remote
+# backend does not enforce vmem_limit_bytes at compile time), so the
+# static bound stays at a measured-safe 24 MiB and longer runs fall
+# back to the XLA step via ``accepts_history``.
+RESAMPLE_HIST_VMEM = 24 * 1024 * 1024   # history VMEM budget (bytes)
 RESAMPLE_SMEM_IDX = 16384  # index words per launch (SMEM budget)
 
 
@@ -1064,6 +1070,16 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     branching at all.  ``fire`` is the look-ahead Bernoulli(α) gate for
     the FIRST grid step; each step draws the next gate into SMEM
     scratch and the last step exports it.
+
+    With ``mig_in_kernel=False`` and ``K > 1`` (the mesh superstep /
+    device-thin path, where migration runs at XLA level BETWEEN
+    launches), the export is instead the COUNT of look-ahead gates that
+    fired across the whole K-window — ``fire_in`` was already consumed
+    by the boundary exchange before this launch and is ignored — so the
+    caller can replay every coalesced migration event at the next
+    window boundary (``sampler._build_fused_wrapped``'s ``mig_multi``).
+    At ``K=1`` the two conventions coincide bitwise (one gate, count in
+    {0, 1}).
     """
     if interpret is None:
         interpret = _mode() == "interpret"
@@ -1100,9 +1116,10 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     theta_s = float(de.theta_snooker)      # per-CHAIN snooker probability
     burnin = int(de.burnin)
     mig_in_kernel = bool(mig_in_kernel) and alpha > 0.0
-    if K > 1 and alpha > 0.0 and not mig_in_kernel:
-        raise ValueError("K > 1 with alpha > 0 requires in-kernel "
-                         "migration (the gate is data-dependent)")
+    # K > 1 with alpha > 0 and migration OUTSIDE the kernel is the
+    # coalesced mesh-window form: no exchange runs in-kernel, and the
+    # fire export becomes the window's gate COUNT (docstring) for the
+    # caller's boundary replay (sampler mig_multi)
     # acceptance mode: MH sampling or greedy optimization
     # (maximize!/minimize!, utilities.jl:212-226 — log_adj is ignored and
     # the objective-only fitness scores out-of-bounds ∓inf)
@@ -1526,7 +1543,14 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         def _():
             theta_sc[:] = theta_ref[:]
             w_sc[:] = w_ref[:]
-            fire_sc[0] = fire_in_ref[0]
+            if alpha > 0.0 and not mig_in_kernel and K > 1:
+                # XLA-level migration with a K-window launch: fire_in
+                # was consumed by the boundary exchange BEFORE this
+                # launch; the scratch instead accumulates the window's
+                # look-ahead gate COUNT (docstring, mesh superstep)
+                fire_sc[0] = jnp.int32(0)
+            else:
+                fire_sc[0] = fire_in_ref[0]
             if resample:
                 # the whole packed history HBM -> VMEM once per launch;
                 # per-iteration reads/writes then stay in VMEM and the
@@ -1951,7 +1975,13 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         if alpha > 0.0:
             gbit = ((u_fire <= np.float32(alpha))
                     & (rowI == 0) & (lane == 0))
-            fire_sc[0] = jnp.sum(gbit.astype(jnp.int32))
+            nfire = jnp.sum(gbit.astype(jnp.int32))
+            if not mig_in_kernel and K > 1:
+                # window-accumulated count (mesh superstep: every
+                # coalesced event replays at the next boundary)
+                fire_sc[0] = fire_sc[0] + nfire
+            else:
+                fire_sc[0] = nfire
         else:
             fire_sc[0] = jnp.int32(0)
 

@@ -192,8 +192,10 @@ def _shard_wrap(kern, mesh):
     iteration, SURVEY §3.2), and each device folds its mesh index into
     the PRNG key so shards draw decorrelated streams.  The exported
     look-ahead migration gate is taken from shard 0 (one valid
-    Bernoulli(α) draw; the per-shard exports are equally valid but must
-    not disagree).  Note the cross-layout RNG contract: a sharded run is
+    Bernoulli(α) draw — or, for K-window launches, the window's gate
+    COUNT for the coalesced boundary replay; the per-shard exports are
+    equally valid but must not disagree).  Note the cross-layout RNG
+    contract: a sharded run is
     statistically — not bitwise — equal to the single-device run (same
     contract as the XLA path across shardings, docs/scaling.md)."""
     from jax.sharding import PartitionSpec as P
@@ -236,7 +238,11 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     across ``SUPER_K`` iterations, bitwise identical to K single steps.
     Migration falls back to the XLA path (2-way cond or branchless
     masked exchange) only under a mesh or when G//8 is not a power of
-    two."""
+    two.  Under a mesh the superstep/device-thin still compose via
+    COALESCING: K-window launches accumulate the in-window gate count
+    in-kernel and ``mig_multi`` replays the events at window boundaries
+    (law-exact — PARITY.md delta 6; ``SHARDED_GATE.json`` measures the
+    sharded α=0.001 superstep at 1.02x the unsharded α=0 floor)."""
     from .ops import fused_step as fused_mod
     if de.uses_resample:
         if mesh is not None:
@@ -302,18 +308,62 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
         mig_ik = False
         k1 = _mk(1, False)
 
-    def mig(state, t3, w3, fire=True):
-        # big-G path only: XLA migration BEFORE the update, like the
-        # reference (src/main.jl:85); the Bernoulli(α) gate was drawn by
-        # the PREVIOUS kernel invocation and carried in `fire`
-        it = state.iteration
+    def _base_mig_key(state):
+        return jax.random.fold_in(
+            rng.step_key(state.key, state.iteration), rng.MIGRATE)
+
+    def _exchange(kd_key, t3, w3, fire=True):
         tg = jnp.transpose(t3.reshape(d, G, Np), (1, 2, 0))
         wg = w3.reshape(G, Np)
-        kd = rng.KeyDraws(jax.random.fold_in(
-            rng.step_key(state.key, it), rng.MIGRATE))
-        tgn, wgn = migration_ops.migrate(kd, tg, wg, G, fire=fire)
+        tgn, wgn = migration_ops.migrate(rng.KeyDraws(kd_key), tg, wg, G,
+                                         fire=fire)
         return (jnp.transpose(tgn, (2, 0, 1)).reshape(d, R, Cf),
                 wgn.reshape(R, Cf))
+
+    def mig(state, t3, w3, fire=True):
+        # mesh path: XLA migration BEFORE the update, like the
+        # reference (src/main.jl:85); the Bernoulli(α) gate was drawn by
+        # the PREVIOUS kernel invocation and carried in `fire`
+        return _exchange(_base_mig_key(state), t3, w3, fire=fire)
+
+    def mig_multi(state, t3, w3):
+        """Boundary exchange for K-window launches under a mesh
+        (superstep / device-thin): ``state.fire`` carries the COUNT of
+        look-ahead Bernoulli(α) gates that fired during the previous
+        window (see ``build_fused_step``'s fire docstring), and every
+        coalesced event replays here as an independent reference-law
+        exchange — the per-window event count stays exactly
+        Binomial(K, α), only the events' position within the window
+        moves to its boundary.  Validity: migration is a permutation of
+        the chain ensemble (``src/migration.jl:84-91``), and any
+        state-independently-scheduled composition of the kernels
+        preserves the stationary law, so deferring events to window
+        boundaries is exact for the posterior (docs/scaling.md).  Event
+        0 uses the single-step key so K=1 launches stay bitwise
+        identical to the per-iteration cond path."""
+        count = state.fire.reshape(()).astype(jnp.int32)
+
+        # nested conds, ALL key derivation inside the fired branch: the
+        # dominant count = 0 case pays only the cond sync — hoisting the
+        # scalar threefry chain (_base_mig_key) out of the branch
+        # measured ~3 µs/launch on a v5e, and a lax.switch was as bad —
+        # and the fori_loop's while bookkeeping only runs on multi-event
+        # windows.  count 0/1 is bitwise identical to the per-iteration
+        # cond path (event 0 = the single-step key).
+        def fired_branch(a):
+            base = _base_mig_key(state)
+            first = _exchange(base, *a)
+            return jax.lax.cond(
+                count > 1,
+                lambda b: jax.lax.fori_loop(
+                    1, count,
+                    lambda j, carry: _exchange(
+                        jax.random.fold_in(base, j), *carry),
+                    b),
+                lambda b: b, first)
+
+        return jax.lax.cond(count > 0, fired_branch, lambda a: a,
+                            (t3, w3))
 
     # XLA-migration gate style (mesh path — single-device always migrates
     # in-kernel since round 4): "cond" skips the exchange work on unfired
@@ -327,16 +377,26 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     # argsort+gather exchange (VERDICT r3 item 4).
     import os as _os
     branchless = _os.environ.get("DEMCMC_MIG_GATE", "cond") == "branchless"
+    # coalesced mesh mode: K-window launches accumulate the in-window
+    # migration gate count in-kernel and mig_multi replays the events at
+    # window boundaries — this is what lets sharded α > 0 runs keep the
+    # K-superstep and device-thin (VERDICT r3 item 4); the branchless
+    # experiment keeps per-iteration exchanges and forfeits both
+    coalesce = (mesh is not None and alpha > 0.0 and not mig_ik
+                and not branchless)
 
     def _call(kern, state):
         it = state.iteration
         key2 = _raw_key(state.key)
         if mig_ik or alpha == 0.0:
             return kern(state.theta, state.weight, key2, it, state.fire)
-        fired = state.fire.reshape(()) > 0
-        if branchless:
+        if coalesce:
+            t3, w3 = mig_multi(state, state.theta, state.weight)
+        elif branchless:
+            fired = state.fire.reshape(()) > 0
             t3, w3 = mig(state, state.theta, state.weight, fire=fired)
         else:
+            fired = state.fire.reshape(()) > 0
             t3, w3 = jax.lax.cond(fired, lambda a: mig(state, *a),
                                   lambda a: a,
                                   (state.theta, state.weight))
@@ -359,8 +419,11 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     def get_superstep():
         """The K-iteration superstep (or None if unavailable): scan ys
         carry a leading [SUPER_K] axis; bitwise identical to SUPER_K
-        single steps (same per-iteration hardware-PRNG seeding)."""
-        if not (mig_ik or alpha == 0.0):
+        single steps (same per-iteration hardware-PRNG seeding) — except
+        in coalesced mesh mode, where in-window migration events replay
+        at window boundaries (``mig_multi``; statistically exact, not
+        bitwise vs singles)."""
+        if not (mig_ik or alpha == 0.0 or coalesce):
             return None                  # data-dependent XLA migration
         if not _super:
             sk = fused_mod.super_k()
@@ -392,7 +455,7 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
         the last one's trajectory written to HBM (``emit='last'``).
         Replaces run_scan's thin-inner-scan of single-step launches,
         which is launch-overhead bound on this path."""
-        if not (mig_ik or alpha == 0.0):
+        if not (mig_ik or alpha == 0.0 or coalesce):
             return None                  # data-dependent XLA migration
         if thin not in _thin_cache:
             try:

@@ -203,3 +203,131 @@ def test_sharded_superstep_bitwise(interpret, monkeypatch):
         np.asarray(jax.block_until_ready(s2.theta)))
     np.testing.assert_array_equal(np.asarray(s1.weight),
                                   np.asarray(s2.weight))
+
+
+def test_fire_count_accumulates_over_window(interpret):
+    """Coalesced mesh-window kernels (K > 1, migration OUTSIDE) must
+    export the COUNT of look-ahead gates fired across the window, and
+    their trajectory must stay bitwise identical to K chained single
+    launches (no exchange applied in either — the exchange is the
+    caller's job at the boundary)."""
+    from demcmc_tpu.sampler import _raw_key, init_state as _init
+
+    model, de = _make(alpha=0.6, n_groups=16)
+    spec = make_spec(model, de)
+    d = spec.dim
+    C = de.n_groups * de.Np
+    R = fused_step._R
+    Cf = C // R
+    k4 = fused_step.build_fused_step(model, de, spec, K=4,
+                                     mig_in_kernel=False)
+    k1 = fused_step.build_fused_step(model, de, spec, K=1,
+                                     mig_in_kernel=False)
+    state = _init(model, de, spec, 13)
+    t3 = jnp.asarray(np.asarray(state.theta).reshape(C, d).T
+                     .reshape(d, R, Cf), jnp.float32)
+    w3 = jnp.asarray(np.asarray(state.weight).reshape(R, Cf),
+                     jnp.float32)
+    key2 = _raw_key(state.key)
+    fire0 = jnp.zeros((1, 1), jnp.int32)
+    tt, ww, _, f4 = k4(t3, w3, key2, jnp.asarray(0), fire0)
+    ts, ws, counts = t3, w3, []
+    for j in range(4):
+        t_, w_, _, f_ = k1(ts, ws, key2, jnp.asarray(j), fire0)
+        ts, ws = t_[0], w_[0]
+        counts.append(int(np.asarray(f_).reshape(())))
+    np.testing.assert_array_equal(np.asarray(tt[-1]), np.asarray(ts))
+    np.testing.assert_array_equal(np.asarray(ww[-1]), np.asarray(ws))
+    assert int(np.asarray(f4).reshape(())) == sum(counts)
+    # the fixture must actually exercise a multi-event window, or the
+    # accumulation (vs any-fired OR) is untested
+    assert sum(counts) >= 2
+
+
+def _mig_multi_replica(key, it, fire_count, t3, w3, G, Np, d):
+    """Replica of sampler ``mig_multi``: replay ``fire_count`` coalesced
+    reference-law exchanges at the window boundary (event 0 = the
+    single-step key, event j = fold_in(base, j))."""
+    R, Cf = t3.shape[1], t3.shape[2]
+    base = jax.random.fold_in(rng.step_key(key, jnp.asarray(it)),
+                              rng.MIGRATE)
+    for j in range(int(fire_count)):
+        kj = base if j == 0 else jax.random.fold_in(base, j)
+        tg = jnp.transpose(jnp.asarray(t3).reshape(d, G, Np), (1, 2, 0))
+        wg = jnp.asarray(w3).reshape(G, Np)
+        tgn, wgn = migration_ops.migrate(rng.KeyDraws(kj), tg, wg, G,
+                                         fire=True)
+        t3 = np.asarray(jnp.transpose(tgn, (2, 0, 1)).reshape(d, R, Cf))
+        w3 = np.asarray(wgn.reshape(R, Cf))
+    return np.asarray(t3), np.asarray(w3)
+
+
+def test_sharded_superstep_coalesced_matches_stitch(interpret,
+                                                    monkeypatch):
+    """alpha>0 sharded superstep (coalesced mesh mode): each K-window
+    launch runs with NO in-window exchange and mig_multi replays the
+    window's accumulated events at the next boundary.  The mesh path
+    must match a manual stitch — boundary replay + per-shard local
+    K-kernel with the shard-folded key — to the bit."""
+    n_dev = 8
+    mesh = _mesh()
+    monkeypatch.setenv("DEMCMC_SUPER_K", "2")
+    model, de = _make(alpha=0.7)
+    spec = make_spec(model, de)
+    d, G, Np = spec.dim, de.n_groups, de.Np
+    step = build_step(model, de, spec, mesh=mesh)
+    assert getattr(step, "fused", False)
+    sup = step.get_superstep()
+    assert sup is not None, "coalesced mesh superstep must be available"
+    state = step.to_fused(_shard_state(init_state(model, de, spec, 11),
+                                       mesh))
+
+    # --- mesh path: 2 supersteps (4 iterations) --------------------
+    s = state
+    fires = [int(np.asarray(state.fire).reshape(()))]
+    for _ in range(2):
+        s, _ = sup(s)
+        fires.append(int(np.asarray(s.fire).reshape(())))
+    got_t = np.asarray(jax.block_until_ready(s.theta))
+    got_w = np.asarray(s.weight)
+
+    # --- stitch ----------------------------------------------------
+    kern = fused_step.build_fused_step(
+        model, fused_step.local_de(de, n_dev), spec, K=2,
+        mig_in_kernel=False)
+    t3 = np.asarray(state.theta)
+    w3 = np.asarray(state.weight)
+    key_local = jax.random.wrap_key_data(
+        jnp.asarray(np.asarray(jax.random.key_data(state.key))),
+        impl="threefry2x32")
+    key2 = jnp.asarray(np.asarray(jax.random.key_data(key_local),
+                                  np.uint32))
+    Cf = t3.shape[-1]
+    L = Cf // n_dev
+    fire = int(np.asarray(state.fire).reshape(()))
+    stitch_fires = [fire]
+    for w in range(2):
+        it = int(state.iteration) + 2 * w
+        t3, w3 = _mig_multi_replica(key_local, it, fire, t3, w3,
+                                    G, Np, d)
+        nt = np.empty_like(t3)
+        nw = np.empty_like(w3)
+        fire_next = None
+        for k in range(n_dev):
+            sl = slice(k * L, (k + 1) * L)
+            tl, wl, _, fl = kern(jnp.asarray(t3[:, :, sl]),
+                                 jnp.asarray(w3[:, sl]),
+                                 _fold_key(key2, k), jnp.asarray(it),
+                                 jnp.zeros((1, 1), jnp.int32))
+            nt[:, :, sl] = np.asarray(tl[-1])
+            nw[:, sl] = np.asarray(wl[-1])
+            if k == 0:
+                fire_next = int(np.asarray(fl).reshape(()))
+        t3, w3, fire = nt, nw, fire_next
+        stitch_fires.append(fire)
+
+    assert fires == stitch_fires
+    np.testing.assert_array_equal(got_t, t3)
+    np.testing.assert_array_equal(got_w, w3)
+    # alpha=0.7, K=2: the fixture should see at least one fired window
+    assert sum(fires[:-1]) >= 1

@@ -99,16 +99,29 @@ def main():
             step, st = build(alpha, mesh=mesh1, gate=gate)
             out[f"sharded_{tag}_{gate}_us"] = time_scan(
                 step, st, N_ITER) * 1e6
+        # coalesced mesh superstep (round 4): K-window launches with
+        # the boundary mig_multi replay — sharded alpha > 0 keeps the
+        # K-superstep
+        step, st = build(alpha, mesh=mesh1, gate="cond")
+        out[f"sharded_{tag}_super_us"] = time_scan(
+            step, st, N_ITER, use_super=True) * 1e6
     out["ratio_sharded_a001_cond_vs_floor"] = round(
         out["sharded_a001_cond_us"] / out["unsharded_alpha0_us"], 3)
     out["ratio_sharded_a001_branchless_vs_floor"] = round(
         out["sharded_a001_branchless_us"] / out["unsharded_alpha0_us"], 3)
+    out["ratio_sharded_a001_super_vs_floor"] = round(
+        out["sharded_a001_super_us"] / out["unsharded_alpha0_us"], 3)
+    out["ratio_sharded_a01_super_vs_unsharded_a01"] = round(
+        out["sharded_a01_super_us"] / out["unsharded_alpha01_us"], 3)
     out = {k: (round(v, 3) if isinstance(v, float) else v)
            for k, v in out.items()}
     out["config"] = "gaussian 4096 chains (G=256, Np=16), 20k iters"
     out["note"] = ("1-device mesh: shard_map composition + XLA-level "
                    "migration gate, the structure a real multi-chip run "
-                   "uses; cond gate skips the exchange on unfired steps")
+                   "uses; cond gate skips the exchange on unfired steps; "
+                   "'super' = the coalesced K-superstep (in-window gate "
+                   "counts accumulated in-kernel, events replayed at "
+                   "window boundaries by mig_multi)")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SHARDED_GATE.json")
     with open(path, "w") as f:
