@@ -101,8 +101,9 @@ def bench_model(model, de, n_iter=100000):
 
 def pct_of_floor(model, de, rate):
     """Measured throughput as a fraction of the hardware floor (see
-    demcmc_tpu/utils/roofline.py: VPU issue-rate + HBM-traffic floors,
-    conservative — the fired-migration body counts fully)."""
+    demcmc_tpu/utils/roofline.py: VPU issue-rate + HBM-traffic floors of
+    the ALWAYS-executed per-iteration work — migration's O(α)-rate event
+    work is excluded, so the pct UNDERSTATES true utilization)."""
     from demcmc_tpu.sampler import make_spec
     from demcmc_tpu.utils import roofline
     fl = roofline.fused_floor(model, de, make_spec(model, de))
@@ -147,13 +148,15 @@ def main():
     # DE-MCz flagship shape (multivariate_normal_tests.jl:49-69): 30-dim
     # MVN, Np=3, n_groups=1, snooker 0.1 + resample — the reference's
     # hardest statistical config, fused since round 4 (the small-C
-    # regime where launch overhead dominates).  100k iterations is the
-    # VMEM ceiling for the in-kernel history (~37 MB packed), so the
-    # ~31 ms tunnel dispatch is a LARGER share here than in the long
-    # scans above — the number is conservatively understated.
+    # regime where launch overhead dominates).  50k iterations = the
+    # reference's own flagship length; it is also near the in-kernel
+    # history's VMEM ceiling (~19 MB packed; 100k ≈ 37 MB faults the
+    # device at kernel load).  At ~0.3 s wall the ~31 ms tunnel
+    # dispatch is ~10% of the measurement — the number is
+    # conservatively UNDERstated.
     from demcmc_tpu.models import mvnormal
     model_r, de_r = mvnormal.make(d=30, n_obs=100, key=1, burnin=2000)
-    mvn_res_rate = bench_model(model_r, de_r, n_iter=100000)
+    mvn_res_rate = bench_model(model_r, de_r, n_iter=50000)
     mvn_res_iters = mvn_res_rate / de_r.n_chains
 
     # ESS/s: posterior-quality throughput (BASELINE.json metric),

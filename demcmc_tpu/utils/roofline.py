@@ -38,11 +38,25 @@ import numpy as np
 
 import jax
 
-VPU_ELEM_OPS_PER_S = 0.96e12     # measured f32 element-ops/s (one v5e)
+# Peak anchors MEASURED on this chip by validation/vpu_peak.py
+# (2026-08-20, v5e), in the SAME units the counter counts (slots per
+# padded vreg of each primitive's output), so anchor and counter cannot
+# drift apart:
+#   * dependent a*b+c chain (every mul/add pair fuses to one VPU FMA):
+#     2.26e12 counted el-ops/s — the chip's demonstrated peak;
+#   * dependent mul/sub chain (no pairing): 1.80e12;
+#   * dependent exp chain: 1.00e12 → one transcendental = 2.25
+#     peak-slots.
+# The PEAK (FMA-paired) rate is the anchor: pct_of_floor is then a true
+# ≤-1-in-principle utilization, understated for select/compare-heavy
+# code that cannot pair.  (Round 4's first anchor, 0.96e12 — the
+# round-2 LBA saturation point — understated the chip 2.4x and the
+# optimized kernels "beat the floor".)
+VPU_ELEM_OPS_PER_S = 2.26e12     # measured peak counted el-ops/s (v5e)
 HBM_BYTES_PER_S = 819e9          # v5e datasheet HBM bandwidth
 _VREG = 8 * 128
 
-TRANSCENDENTAL_WEIGHT = 4.0
+TRANSCENDENTAL_WEIGHT = 2.25
 _TRANSCENDENTAL = {"exp", "log", "log1p", "expm1", "tanh", "sin", "cos",
                    "rsqrt", "sqrt", "pow", "atan2", "cbrt", "logistic",
                    "erf", "erfc", "erf_inv", "lgamma", "digamma"}
@@ -115,12 +129,20 @@ def fused_floor(model, de, spec, K=None) -> dict | None:
         K = fused_mod.super_k()
     G, Np, d = de.n_groups, de.Np, spec.dim
     alpha = float(de.alpha) if G > 1 else 0.0
-    mig_ik = alpha > 0.0 and fused_mod.mig_sorted_ok(G, Np)
-    if alpha > 0.0 and not mig_ik:
-        return None
+    if alpha > 0.0:
+        # The floor counts the ALWAYS-EXECUTED per-iteration work (an
+        # α=0 build): migration is an O(α)-rate event whose branched
+        # body would otherwise count fully on every iteration — the
+        # round-4 first cut did that and reported a "floor" the kernel
+        # beat 11x (the un-taken pl.when body dominated the count).
+        # Excluding it biases the floor LOW, so pct_of_floor now
+        # UNDERSTATES utilization on α > 0 configs — the safe direction.
+        import dataclasses
+        de = dataclasses.replace(de, alpha=0.0)
+        alpha = 0.0
     try:
         kern = fused_mod.build_fused_step(model, de, spec, K=K,
-                                          mig_in_kernel=mig_ik,
+                                          mig_in_kernel=False,
                                           interpret=False)
     except Exception:
         return None
@@ -156,11 +178,6 @@ def fused_floor(model, de, spec, K=None) -> dict | None:
         slots = _walk(inner)        # one GRID STEP = one iteration
     except _Uncountable:
         return None
-    # unfired-migration credit: the pl.when(fire) region's body counts
-    # fully above but executes only on ~alpha of iterations; without
-    # per-branch attribution we report the FIRED floor (conservative:
-    # the real unfired floor is lower, so pct_of_floor is understated,
-    # never overstated).
     vpu_floor_s = slots / (VPU_ELEM_OPS_PER_S / _VREG)
     # per-iteration HBM traffic: trajectory blocks out (theta, w, accept)
     traj_bytes = (d * R * Cf * 4) + (R * Cf * 4) + (R * Cf * 1)

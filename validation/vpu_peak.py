@@ -1,0 +1,177 @@
+"""Measure the chip's peak VPU element-op rate — the roofline anchor.
+
+The roofline (``demcmc_tpu/utils/roofline.py``) counts one slot per
+(8, 128)-padded vreg of every compute primitive's output and divides by
+``VPU_ELEM_OPS_PER_S``.  That anchor must be the rate THIS chip
+demonstrably streams vector work at, measured in the SAME units the
+counter counts — otherwise pct_of_floor is meaningless (round 4 first
+anchored on the round-2 LBA saturation point, 0.96e12 el-ops/s, and the
+optimized kernels then "beat the floor" 1.3-2.6x: that number reflected
+one ALU's issue rate, not the chip).
+
+Method: a Pallas kernel over a [64, 1024] f32 block (64 vregs of ILP
+per op) running an unrolled chain of K mutually-dependent mul/sub pairs
+(no constant-foldable structure), grid-amortized; rate = primitives ×
+vregs × 1024 / wall.  The same jaxpr-walking counter verifies the slot
+count, so anchor and counter cannot drift apart.
+
+Writes the measured rate to stdout; update ``VPU_ELEM_OPS_PER_S`` (and
+NOTES.md) from it.  Run ALONE on the TPU.
+"""
+
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R, L = 64, 1024          # 64 sublanes x 1024 lanes = 64 vregs
+K_OPS = 512              # primitives per grid step (256 mul/sub pairs)
+GRID = 8192
+
+
+def kernel(x_ref, o_ref, acc_sc, b_sc):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_sc[:] = x_ref[:]
+        b_sc[:] = x_ref[:] * np.float32(0.9999)
+
+    acc = acc_sc[:]
+    b = b_sc[:]
+    for _ in range(K_OPS // 2):
+        acc = acc * b            # mutually dependent pair: neither op
+        b = b - acc              # can fold or reassociate away
+    acc_sc[:] = acc
+    b_sc[:] = b
+
+    @pl.when(pl.program_id(0) == GRID - 1)
+    def _():
+        # tiny output: a [8, 128] corner — the timed loop forces a HOST
+        # read of it per rep, which cannot phantom-complete (blocking a
+        # single device output over the tunnel can; see bench.py)
+        o_ref[:] = acc_sc[:8, :128] + b_sc[:8, :128]
+
+
+def kernel_exp(x_ref, o_ref, acc_sc, b_sc):
+    """Dependent exp chain: measures the transcendental slot rate (the
+    values saturate to inf immediately — VPU latency is value-blind)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_sc[:] = x_ref[:]
+
+    acc = acc_sc[:]
+    for _ in range(K_OPS):
+        acc = jnp.exp(acc)
+    acc_sc[:] = acc
+
+    @pl.when(pl.program_id(0) == GRID - 1)
+    def _():
+        o_ref[:] = acc_sc[:8, :128]
+
+
+def kernel_fma(x_ref, o_ref, acc_sc, b_sc):
+    """Dependent a*b+c chain: every mul/add pair fuses into one VPU FMA
+    instruction, so this measures the chip's PEAK counted-slot rate (2
+    counted slots per instruction) — the speed-of-light anchor."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_sc[:] = x_ref[:]
+        b_sc[:] = x_ref[:] * np.float32(0.9999)
+
+    acc = acc_sc[:]
+    b = b_sc[:]
+    for _ in range(K_OPS // 2):
+        acc = acc * b + b        # one FMA: 2 counted slots, 1 instr
+    acc_sc[:] = acc
+
+    @pl.when(pl.program_id(0) == GRID - 1)
+    def _():
+        o_ref[:] = acc_sc[:8, :128]
+
+
+def main():
+    print("devices:", jax.devices())
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0.99, 1.01, (R, L)), jnp.float32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(GRID,),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R, L), jnp.float32),
+                        pltpu.VMEM((R, L), jnp.float32)],
+    )
+    fn = jax.jit(call)
+    np.asarray(fn(x))                       # warmup incl. compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(fn(x)).sum())      # host read: real completion
+        times.append(time.perf_counter() - t0)
+    t = sorted(times)[len(times) // 2]
+    assert t > 0.025, f"implausible timing {times}"
+    el_ops = K_OPS * GRID * R * L
+    rate = el_ops / t
+    print(f"wall {t*1e3:.2f} ms for {el_ops/1e9:.1f} G element-ops")
+    print(f"measured VPU element-op rate: {rate:.4e} el-ops/s "
+          f"({rate / (8 * 128) / 1e9:.2f} G vreg-slots/s)")
+
+    grid_e = GRID // 4
+    call_e = pl.pallas_call(
+        kernel_exp,
+        grid=(grid_e,),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R, L), jnp.float32),
+                        pltpu.VMEM((R, L), jnp.float32)],
+    )
+    fn_e = jax.jit(call_e)
+    np.asarray(fn_e(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(fn_e(x)).sum())
+        times.append(time.perf_counter() - t0)
+    te = sorted(times)[len(times) // 2]
+    assert te > 0.025, f"implausible timing {times}"
+    exp_ops = K_OPS * grid_e * R * L
+    rate_e = exp_ops / te
+    print(f"exp chain: wall {te*1e3:.2f} ms for {exp_ops/1e9:.1f} G exps")
+    print(f"measured exp rate: {rate_e:.4e} exp-el/s")
+
+    call_f = pl.pallas_call(
+        kernel_fma,
+        grid=(GRID,),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R, L), jnp.float32),
+                        pltpu.VMEM((R, L), jnp.float32)],
+    )
+    fn_f = jax.jit(call_f)
+    np.asarray(fn_f(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(fn_f(x)).sum())
+        times.append(time.perf_counter() - t0)
+    tf = sorted(times)[len(times) // 2]
+    assert tf > 0.025, f"implausible timing {times}"
+    fma_ops = K_OPS * GRID * R * L       # 2 counted slots per fused pair
+    rate_f = fma_ops / tf
+    print(f"fma chain: wall {tf*1e3:.2f} ms for {fma_ops/1e9:.1f} G "
+          f"counted el-ops")
+    print(f"PEAK counted-slot rate (FMA-paired): {rate_f:.4e} el-ops/s")
+    print(f"transcendental weight vs peak = {rate_f / rate_e:.2f}")
+
+
+if __name__ == "__main__":
+    main()
