@@ -33,6 +33,9 @@ CUSTOM = 19         # custom strategy-slot key root
 NEXT_KEY = 20       # ProposalContext.next_key substream
 EVAL = 21           # stochastic (pseudo-marginal) likelihood evaluations
 MIGRATE = 22        # fused-path migration draws (exchange fired by `fire`)
+MIG_EVENT_NS = 0x6d19   # per-event subkeys in coalesced boundary replays
+#                         (NS-sized so it can never alias a KeyDraws
+#                         draw index fold_in(base, i), i small)
 RESAMPLE = 23       # fused-path resample (DE-MCz) partner-index draws
 MEMBER = 24         # per-member subkeys in sequential (in-place) sweeps
 

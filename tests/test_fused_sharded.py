@@ -247,12 +247,15 @@ def test_fire_count_accumulates_over_window(interpret):
 def _mig_multi_replica(key, it, fire_count, t3, w3, G, Np, d):
     """Replica of sampler ``mig_multi``: replay ``fire_count`` coalesced
     reference-law exchanges at the window boundary (event 0 = the
-    single-step key, event j = fold_in(base, j))."""
+    single-step key, event j = fold_in under the MIG_EVENT_NS
+    namespace — a bare fold_in(base, j) would alias KeyDraws' draw
+    keys)."""
     R, Cf = t3.shape[1], t3.shape[2]
     base = jax.random.fold_in(rng.step_key(key, jnp.asarray(it)),
                               rng.MIGRATE)
+    ev_base = jax.random.fold_in(base, rng.MIG_EVENT_NS)
     for j in range(int(fire_count)):
-        kj = base if j == 0 else jax.random.fold_in(base, j)
+        kj = base if j == 0 else jax.random.fold_in(ev_base, j)
         tg = jnp.transpose(jnp.asarray(t3).reshape(d, G, Np), (1, 2, 0))
         wg = jnp.asarray(w3).reshape(G, Np)
         tgn, wgn = migration_ops.migrate(rng.KeyDraws(kj), tg, wg, G,

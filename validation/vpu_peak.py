@@ -109,6 +109,38 @@ def main():
                         pltpu.VMEM((R, L), jnp.float32)],
     )
     fn = jax.jit(call)
+
+    # cross-check: the roofline's own jaxpr counter must count this
+    # kernel at K_OPS slots x 64 vregs per grid step (plus the tiny
+    # init/output regions) — the anchor is only meaningful in the
+    # counter's units, so a drift in counting rules fails HERE instead
+    # of silently skewing every pct_of_floor
+    from demcmc_tpu.utils import roofline
+
+    def find_pallas(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                return eqn
+            for key in roofline._CALLS:
+                v = eqn.params.get(key)
+                if v is not None:
+                    vs = v if isinstance(v, (tuple, list)) else (v,)
+                    for s in vs:
+                        got = find_pallas(getattr(s, "jaxpr", s))
+                        if got is not None:
+                            return got
+        return None
+
+    closed = jax.make_jaxpr(call)(x)
+    eqn = find_pallas(closed.jaxpr)
+    assert eqn is not None
+    slots = roofline._walk(eqn.params["jaxpr"])
+    want = K_OPS * (R * L) / (8 * 128)
+    assert abs(slots - want) / want < 0.05, (
+        f"counter drift: counted {slots} slots, kernel issues ~{want}")
+    print(f"counter cross-check OK: {slots:.0f} counted slots vs "
+          f"{want:.0f} issued per grid step")
+
     np.asarray(fn(x))                       # warmup incl. compile
     times = []
     for _ in range(5):
