@@ -1330,6 +1330,29 @@ _REPLICATED_CACHE_MAX = 8
 _replicated_jit_cache = collections.OrderedDict()
 
 
+def _replicated_jit(make_model, sig, build):
+    """Memoize a replicated-run jit wrapper on (weakref(make_model),
+    sig) in the bounded LRU above; non-weakrefable callables skip the
+    cache (pre-round-4 behavior: a fresh wrapper per call)."""
+    try:
+        wref = weakref.ref(make_model)
+    except TypeError:
+        return build()
+    ck = (wref,) + tuple(sig)
+    fn = _replicated_jit_cache.get(ck)
+    if fn is None:
+        fn = build()
+        # evict dead-callable entries, then bound the LRU
+        for k in [k for k in _replicated_jit_cache if k[0]() is None]:
+            del _replicated_jit_cache[k]
+        _replicated_jit_cache[ck] = fn
+        while len(_replicated_jit_cache) > _REPLICATED_CACHE_MAX:
+            _replicated_jit_cache.popitem(last=False)
+    else:
+        _replicated_jit_cache.move_to_end(ck)
+    return fn
+
+
 def _replicated_setup(make_model, de: DE, datasets, key, keys):
     """Shared plumbing of :func:`sample_replicated` /
     :func:`demcmc_tpu.optimize.optimize_replicated`: validate the leading
@@ -1440,28 +1463,11 @@ def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
     # VERDICT r3 weak item 8.  Keyed on a weakref of the user's
     # make_model object (jit's own same-function-object contract);
     # shape/sharding changes still re-trace via the stored wrapper's
-    # normal jit cache.  Non-weakrefable callables (e.g. __slots__
-    # classes) simply skip the cache — the pre-round-4 behavior.
-    try:
-        wref = weakref.ref(make_model)
-    except TypeError:
-        wref = None
-    if wref is None:
-        fn = jax.jit(jax.vmap(one))
-    else:
-        ck = (wref, de._static_key(), _spec_key(spec), n_iter, thin)
-        fn = _replicated_jit_cache.get(ck)
-        if fn is None:
-            fn = jax.jit(jax.vmap(one))
-            # evict dead-callable entries, then bound the LRU
-            for k in [k for k in _replicated_jit_cache
-                      if k[0]() is None]:
-                del _replicated_jit_cache[k]
-            _replicated_jit_cache[ck] = fn
-            while len(_replicated_jit_cache) > _REPLICATED_CACHE_MAX:
-                _replicated_jit_cache.popitem(last=False)
-        else:
-            _replicated_jit_cache.move_to_end(ck)
+    # normal jit cache.
+    fn = _replicated_jit(
+        make_model, ("sample", de._static_key(), _spec_key(spec),
+                     n_iter, thin),
+        lambda: jax.jit(jax.vmap(one)))
     ys = fn(datasets, keys)
     ys = jax.device_get(ys)
     return [bundle_samples(model0, de, spec,
