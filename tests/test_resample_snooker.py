@@ -108,3 +108,27 @@ def test_history_grows_and_fills():
     assert np.all(h[:28] != 0, where=np.isfinite(h[:28]))
     # every stored row non-trivial: rows 8..27 written by the scan
     assert np.any(h[27] != 0)
+
+
+def test_resample_vmem_budget_fallback(monkeypatch):
+    """A resample run whose packed history exceeds the kernel's VMEM
+    budget must FALL BACK to the XLA step (the accepts_history gate in
+    sample) and produce bitwise the same chains as a forced-XLA run —
+    not fault the device (observed on-chip: a ~37 MB history compiles
+    but ABORTS at kernel load, hence RESAMPLE_HIST_VMEM=24 MiB)."""
+    from demcmc_tpu.ops import fused_step
+
+    n_iter = 40
+    monkeypatch.setenv("DEMCMC_FUSED", "off")
+    model, de = mvnormal.make(d=4, n_obs=30, key=2, burnin=20,
+                              dtype=np.float32)
+    want_xla = dm.sample(model, de, n_iter, key=5)
+
+    monkeypatch.setenv("DEMCMC_FUSED", "interpret")
+    monkeypatch.setattr(fused_step, "RESAMPLE_HIST_VMEM", 1)
+    model2, de2 = mvnormal.make(d=4, n_obs=30, key=2, burnin=20,
+                                dtype=np.float32)
+    assert not fused_step.resample_hist_fits(
+        de2, dm.sampler.make_spec(model2, de2), n_iter + de2.n_initial)
+    got = dm.sample(model2, de2, n_iter, key=5)
+    np.testing.assert_array_equal(got.data, want_xla.data)
