@@ -210,6 +210,11 @@ RESAMPLE_S_GRAN = 64       # slab-count rounding granule (compile reuse)
 # back to the XLA step via ``accepts_history``.
 RESAMPLE_HIST_VMEM = 24 * 1024 * 1024   # history VMEM budget (bytes)
 RESAMPLE_SMEM_IDX = 16384  # index words per launch (SMEM budget)
+# hard physical bound for a single launch's flat index array (~800 KB
+# of the chip's 1 MB SMEM): device-thin kernels build with K = thin,
+# which the SUPER_K budget does not govern — past this the thin path
+# must fall back (sampler get_thin_step returns None)
+RESAMPLE_SMEM_WORDS_MAX = 200_000
 
 
 def _resample_supported(de) -> bool:
@@ -257,15 +262,26 @@ def resample_super_k(de) -> int:
     per launch ≈ 0.18 µs/iter at K=256).  Bounded by the SMEM budget
     for the per-iteration partner-index words.  ``DEMCMC_SUPER_K``
     overrides."""
+    k = RESAMPLE_SMEM_IDX // max(resample_idx_words(de), 1)
+    # K scales DOWN to 1 for word-heavy configs: a max(16, ...) floor
+    # used to push e.g. sequential-sweep Np=64 launches to 2.6 MB of
+    # SMEM, past the chip's 1 MB (code-review r4).  The env override is
+    # clamped to the same budget.
+    cap = max(1, min(256, (k // 16) * 16 if k >= 16 else k))
     env = os.environ.get("DEMCMC_SUPER_K")
     if env is not None:
-        return int(env)
+        return max(1, min(int(env), cap))
+    return cap
+
+
+def resample_idx_words(de) -> int:
+    """Per-ITERATION partner-index SMEM words on the fused resample
+    path (the flat [K · n_slots · C] launch array divided by K)."""
     C = de.n_groups * de.Np
     n_slots = 2 + (3 if float(de.theta_snooker) > 0.0 else 0)
     if de.sequential_sweep:
         n_slots *= de.Np      # one tuple set per member per iteration
-    k = RESAMPLE_SMEM_IDX // (n_slots * C)
-    return max(16, min(256, (k // 16) * 16))
+    return n_slots * C
 
 
 def _blocking_const(de):
@@ -1004,16 +1020,22 @@ def _erfc32(x):
 
 def _lgamma32(x):
     """float32 log-gamma — Mosaic has no lgamma lowering.  Shift-up
-    recurrence to z = x+8 then a 3-term Stirling series (series
+    recurrence to z = x+n (n = ⌈max(8−x, 0)⌉, so only the terms below
+    8 enter the product) then a 3-term Stirling series (series
     truncation < 3e-10 at z ≥ 8; f32 roundoff dominates at ~2 ulp,
-    verified vs scipy in tests/test_fused_step.py).  Valid for
-    x > 0; non-positive x yields NaN/±inf garbage exactly where the
-    true lgamma has poles — zoo densities where-mask those lanes
-    (e.g. the discrete binomial's N < k reject)."""
-    prod = x
+    verified vs scipy in tests/test_fused_step.py up to x = 1e6).  A
+    FIXED 8-term shift overflowed the f32 product at x ≥ ~6.3e4 and
+    returned −inf (code-review r4); the masked shift keeps the product
+    ≤ ~8·9·…·15 at any x.  Valid for x > 0; non-positive x yields
+    NaN/±inf garbage exactly where the true lgamma has poles — zoo
+    densities where-mask those lanes (e.g. the discrete binomial's
+    N < k reject)."""
+    n = jnp.ceil(jnp.maximum(np.float32(8.0) - x, np.float32(0.0)))
+    prod = jnp.where(n > 0, x, np.float32(1.0))
     for i in range(1, 8):
-        prod = prod * (x + np.float32(float(i)))
-    z = x + np.float32(8.0)
+        fi = np.float32(float(i))
+        prod = prod * jnp.where(fi < n, x + fi, np.float32(1.0))
+    z = x + n
     zi = np.float32(1.0) / z
     zi2 = zi * zi
     series = zi * (np.float32(1.0 / 12.0)

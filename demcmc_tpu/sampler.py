@@ -604,6 +604,13 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     step.get_superstep = get_superstep
 
     def get_thin_step(thin):
+        # K = thin launches: the flat index array is [thin · slots · C]
+        # words — over the physical SMEM bound, fall back to the
+        # thin-wrap of single steps (code-review r4)
+        if (thin * fused_mod.resample_idx_words(de)
+                > fused_mod.RESAMPLE_SMEM_WORDS_MAX):
+            return None
+
         def thin_step(state: SamplerState, _=None):
             kern = _get_kernel(thin, int(state.history.shape[0]),
                                emit="last")
@@ -625,8 +632,12 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         thinned runs keep amortizing the per-launch history DMA over
         ~sup_k iterations instead of paying it per stored draw.
         Returns ``(step_fn, m)`` with ys carrying a leading [m] axis, or
-        None when a launch would hold < 2 draws."""
+        None when a launch would hold < 2 draws (or exceed the physical
+        SMEM bound for its [m·thin · slots · C] index array)."""
         m = max(1, sup_k // thin)
+        words = fused_mod.resample_idx_words(de)
+        while m >= 2 and m * thin * words > fused_mod.RESAMPLE_SMEM_WORDS_MAX:
+            m //= 2
         if m < 2:
             return None
 

@@ -35,6 +35,13 @@ import numpy as np
 __all__ = ["ConvergenceMonitor"]
 
 _MAX_BUCKETS = 512
+# bucket-store host-memory budget: each bucket holds two float64 [C, d]
+# arrays, so at large chain counts a fixed 512-bucket cap ballooned to
+# ~1 GB host RAM at 65k chains (code-review r4); the effective cap
+# shrinks so the store stays under this budget (coarser split-point
+# granularity only affects how close to n/2 the live split lands — at
+# the floor of 8 buckets it is still within n/16 of the midpoint)
+_BUCKET_MEM_BUDGET = 64 * 1024 * 1024
 
 
 class ConvergenceMonitor:
@@ -54,6 +61,7 @@ class ConvergenceMonitor:
         self._bs1 = []       # bucket sums
         self._bs2 = []       # bucket sums of squares
         self._bucket_size = 1
+        self._max_buckets = _MAX_BUCKETS     # memory-capped on first chunk
 
     def update(self, theta_chunk) -> None:
         x = np.asarray(theta_chunk, np.float64)
@@ -67,6 +75,9 @@ class ConvergenceMonitor:
             self._s1 = np.zeros((C, d))
             self._s2 = np.zeros((C, d))
             self._sx1 = np.zeros((C, d))
+            per_bucket = 2 * C * d * 8               # two f64 [C, d]
+            self._max_buckets = int(min(
+                _MAX_BUCKETS, max(8, _BUCKET_MEM_BUDGET // per_bucket)))
         self._s1 += x.sum(axis=0)
         x2 = x * x
         self._s2 += x2.sum(axis=0)
@@ -92,7 +103,7 @@ class ConvergenceMonitor:
             self._bs1[-1] += x[t:t + take].sum(axis=0)
             self._bs2[-1] += x2[t:t + take].sum(axis=0)
             t += take
-            if len(self._bn) > _MAX_BUCKETS:
+            if len(self._bn) > self._max_buckets:
                 self._merge_buckets()
 
     def _merge_buckets(self) -> None:

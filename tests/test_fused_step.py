@@ -314,9 +314,13 @@ def test_lgamma_override_accuracy():
     from scipy.special import gammaln
     x = np.concatenate([np.linspace(0.05, 2, 200),
                         np.linspace(2, 50, 300),
-                        np.linspace(50, 5000, 200)]).astype(np.float32)
+                        np.linspace(50, 5000, 200),
+                        # the fixed 8-term shift overflowed the f32
+                        # product here and returned -inf (review r4)
+                        np.geomspace(5e3, 1e6, 100)]).astype(np.float32)
     got = np.asarray(fused_step._lgamma32(jax.numpy.asarray(x)))
     want = gammaln(x.astype(np.float64))
+    assert np.isfinite(got).all()
     rel = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
     assert rel.max() < 1e-5
 

@@ -132,3 +132,25 @@ def test_resample_vmem_budget_fallback(monkeypatch):
         de2, dm.sampler.make_spec(model2, de2), n_iter + de2.n_initial)
     got = dm.sample(model2, de2, n_iter, key=5)
     np.testing.assert_array_equal(got.data, want_xla.data)
+
+
+def test_resample_super_k_respects_smem_budget(monkeypatch):
+    """K must scale DOWN for word-heavy configs (sequential sweep at
+    big Np): a max(16, ...) floor used to build launches whose flat
+    index array exceeded the chip's 1 MB SMEM.  The env override is
+    clamped to the same budget."""
+    from demcmc_tpu.ops import fused_step
+
+    de = dm.DE(bounds=((-10.0, 10.0), (0.0, 10.0)), n_groups=2, Np=64,
+               theta_snooker=0.1, sample="resample", n_initial=8,
+               sweep="sequential", burnin=10)
+    words = fused_step.resample_idx_words(de)
+    assert words == 5 * 64 * 128
+    k = fused_step.resample_super_k(de)
+    assert k == 1                       # over the SUPER_K word budget
+    monkeypatch.setenv("DEMCMC_SUPER_K", "64")
+    assert fused_step.resample_super_k(de) == 1    # env clamped
+    # the flagship shape keeps its deep superstep
+    monkeypatch.delenv("DEMCMC_SUPER_K")
+    _, de_flag = mvnormal.make(d=30, n_obs=100, key=1, burnin=2000)
+    assert fused_step.resample_super_k(de_flag) >= 64
