@@ -20,6 +20,16 @@ type (the sampler itself holds the population as one tensor; see
 :class:`Chains` / :class:`Population` for its outputs).
 """
 
+from .utils.compile_cache import enable_persistent_cache
+
+# Persistent compilation cache ON by default (DEMCMC_CACHE_DIR=off to
+# opt out; an already-configured jax_compilation_cache_dir is
+# respected).  The fused sampler's Pallas kernels are multi-second
+# Mosaic compiles — with the on-disk cache a fresh process replays
+# them in milliseconds (measured 70.9 s -> 8.4 s on the flagship MVN
+# cold wall; see utils/compile_cache.py).
+enable_persistent_cache()
+
 from . import diagnostics, models, ops, parallel, utils
 from .chains import Chains
 from .config import DE, MCMCThreads

@@ -38,7 +38,10 @@ def solve(p, u0=(1.0, 1.0), t1=10.0, saveat=0.1, substeps=5):
     including t=0."""
     dt = saveat / substeps
     n_save = int(round(t1 / saveat))
-    u0 = jnp.asarray(u0, jnp.float32)
+    # carry dtype must match the vector field's output or lax.scan
+    # rejects the body under jax_enable_x64 (smoke-test finding r5)
+    u0 = jnp.asarray(u0, jnp.result_type(jnp.asarray(p).dtype,
+                                         jnp.float32))
 
     def rk4_step(u, _):
         k1 = _vector_field(u, p)

@@ -270,8 +270,17 @@ def resample_super_k(de) -> int:
     cap = max(1, min(256, (k // 16) * 16 if k >= 16 else k))
     env = os.environ.get("DEMCMC_SUPER_K")
     if env is not None:
+        if int(env) > cap and not _super_k_clamp_warned:
+            import warnings
+            _super_k_clamp_warned.append(True)
+            warnings.warn(
+                f"DEMCMC_SUPER_K={env} exceeds this resample config's "
+                f"SMEM index budget; clamped to K={cap}", stacklevel=2)
         return max(1, min(int(env), cap))
     return cap
+
+
+_super_k_clamp_warned: list = []   # one warning per process (advice r4)
 
 
 def resample_idx_words(de) -> int:

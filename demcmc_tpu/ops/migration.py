@@ -134,6 +134,14 @@ def migrate(draws, theta, weight, n_groups: int, fire=True):
         draws = rng.KeyDraws(draws)
     routed_t, routed_w, vmask = _migrate_values(draws, theta, weight,
                                                 n_groups)
+    if isinstance(draws, rng.KeyDraws):
+        # pins the MIG_EVENT_NS aliasing argument (rng.py): coalesced
+        # boundary replays fold event keys at MIG_EVENT_NS under the
+        # SAME base key KeyDraws folds its draw indices — safe only
+        # while an exchange's draw count stays far below it (advice r4)
+        assert draws.i < rng.MIG_EVENT_NS // 8, (
+            "migrate() draw count approaches MIG_EVENT_NS; event keys "
+            "in mig_multi would alias draw keys")
     vmask = vmask & fire
     new_theta = jnp.where(vmask[..., None], routed_t[:, None, :], theta)
     new_weight = jnp.where(vmask, routed_w[:, None], weight)

@@ -632,12 +632,14 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         thinned runs keep amortizing the per-launch history DMA over
         ~sup_k iterations instead of paying it per stored draw.
         Returns ``(step_fn, m)`` with ys carrying a leading [m] axis, or
-        None when a launch would hold < 2 draws (or exceed the physical
-        SMEM bound for its [m·thin · slots · C] index array)."""
+        None when a launch would hold < 2 draws.  No SMEM guard is
+        needed here (unlike ``get_thin_step``, whose K = user ``thin``
+        is unbounded): m·thin ≤ sup_k, and ``resample_super_k`` already
+        bounds sup_k's index words by RESAMPLE_SMEM_IDX ≪ the physical
+        RESAMPLE_SMEM_WORDS_MAX."""
         m = max(1, sup_k // thin)
-        words = fused_mod.resample_idx_words(de)
-        while m >= 2 and m * thin * words > fused_mod.RESAMPLE_SMEM_WORDS_MAX:
-            m //= 2
+        assert (m * thin * fused_mod.resample_idx_words(de)
+                <= fused_mod.RESAMPLE_SMEM_WORDS_MAX)
         if m < 2:
             return None
 

@@ -19,8 +19,12 @@ statistics:
   trend* therefore inflates the live R̂ exactly like the post-hoc one —
   the chain-level R̂ this class used to stream could green-light a run
   whose chains all drift together.
-* a rough ESS from the streaming lag-1 autocorrelation,
-  ``N·(1-ρ₁)/(1+ρ₁)`` per chain, summed over chains.
+* streaming **ESS**: Geyer's truncated autocovariance sum evaluated on
+  the stored bucket-mean series (batching preserves the long-run
+  variance, so the spectral estimate needs no trajectory retention) —
+  within ~15% of the post-hoc :func:`demcmc_tpu.diagnostics.ess` on
+  AR(1) fixtures; a lag-1 ``N·(1-ρ₁)/(1+ρ₁)`` fallback covers the
+  first draws.
 
 ``sample(..., progress=True)`` feeds post-burnin draws automatically and
 shows ``max R̂`` live in the progress line; ``sample(..., stop_rhat=r)``
@@ -38,9 +42,12 @@ _MAX_BUCKETS = 512
 # bucket-store host-memory budget: each bucket holds two float64 [C, d]
 # arrays, so at large chain counts a fixed 512-bucket cap ballooned to
 # ~1 GB host RAM at 65k chains (code-review r4); the effective cap
-# shrinks so the store stays under this budget (coarser split-point
-# granularity only affects how close to n/2 the live split lands — at
-# the floor of 8 buckets it is still within n/16 of the midpoint)
+# shrinks toward this budget (coarser split-point granularity only
+# affects how close to n/2 the live split lands — at the floor of 8
+# buckets it is still within n/16 of the midpoint).  The 8-bucket floor
+# bounds the worst case at 8·per_bucket, which can EXCEED the budget
+# at extreme C·d (e.g. 65k chains × d=30 ≈ 250 MB) — bounded, not
+# strictly under budget (advice r4).
 _BUCKET_MEM_BUDGET = 64 * 1024 * 1024
 
 
@@ -161,9 +168,57 @@ class ConvergenceMonitor:
         r = self.rhat()
         return None if r is None else float(np.nanmax(r))
 
+    def ess_stream(self):
+        """Per-parameter streaming ESS, summed over chains (None until
+        >= 4 draws).
+
+        Runs Geyer's initial-monotone-positive-sequence estimator
+        (Vehtari et al. 2021 §3.2 — the same truncation rule as the
+        post-hoc :func:`demcmc_tpu.diagnostics.ess`) on the per-chain
+        BUCKET-MEAN series: aggregating a chain into batches of size b
+        leaves the long-run variance invariant (``sigma2_inf(batch
+        means) = sigma2_inf / b``), so ``ESS_c = n * var_c / (b *
+        sigma2_bm)`` with ``sigma2_bm`` estimated spectrally from the
+        <= 512 stored bucket means — no trajectory retention, and
+        unlike plain batch means the inter-batch autocovariance sum
+        captures correlation far beyond one batch.  Falls back to the
+        lag-1 estimate while < 16 full buckets exist."""
+        full = [i for i in range(len(self._bn))
+                if self._bn[i] == self._bucket_size]
+        K = len(full)
+        if K < 16:
+            return self.ess_rough()
+        b = self._bucket_size
+        means = np.stack([self._bs1[i] for i in full]) / b   # [K, C, d]
+        s1 = np.sum([self._bs1[i] for i in full], axis=0)
+        s2 = np.sum([self._bs2[i] for i in full], axis=0)
+        n_used = K * b
+        mu = s1 / n_used
+        var = (s2 - n_used * mu * mu) / (n_used - 1)         # [C, d]
+        # per-(chain, param) autocovariance of the bucket-mean series
+        xc = means - means.mean(axis=0)
+        size = 2 ** int(np.ceil(np.log2(2 * K)))
+        f = np.fft.rfft(xc, n=size, axis=0)
+        acov = np.fft.irfft(f * np.conj(f), n=size,
+                            axis=0)[:K].real / K             # [K, C, d]
+        # Geyer: sigma2 = -c0 + 2 * sum of the initial monotone positive
+        # sequence of paired sums G_m = c_{2m} + c_{2m+1}
+        sigma2 = -acov[0]
+        run_min = np.full_like(acov[0], np.inf)
+        alive = np.ones(acov[0].shape, dtype=bool)
+        for m in range(K // 2):
+            g = acov[2 * m] + acov[2 * m + 1]
+            alive = alive & (g > 0)
+            run_min = np.minimum(run_min, g)
+            sigma2 = sigma2 + 2.0 * np.where(alive, run_min, 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            per_chain = n_used * var / (b * np.maximum(sigma2, 1e-300))
+        return np.nansum(np.minimum(per_chain, n_used), axis=0)
+
     def ess_rough(self):
         """Per-parameter rough ESS from streaming lag-1 autocorrelation,
-        summed over chains (None until >= 4 draws)."""
+        summed over chains (None until >= 4 draws).  Prefer
+        :meth:`ess_stream`, which is accurate beyond AR(1)."""
         if self.n < 4:
             return None
         n = self.n

@@ -259,6 +259,55 @@ def test_monitor_ess_sane_on_iid_and_correlated():
     assert 0.06 * T * C < ess2 < 0.2 * T * C
 
 
+def test_monitor_ess_stream_matches_geyer_on_ar1():
+    """The streaming bucket-mean Geyer ESS tracks the post-hoc
+    diagnostics.ess to ~15% on AR(1) chains at two correlation levels
+    (verdict r4 item 8) — where the lag-1 fallback is only 'rough'."""
+    from demcmc_tpu import diagnostics
+    from demcmc_tpu.utils.monitor import ConvergenceMonitor
+    rng = np.random.default_rng(7)
+    T, C = 8192, 4
+    for rho in (0.5, 0.9):
+        ar = np.empty((T, C, 1))
+        ar[0] = rng.standard_normal((C, 1))
+        sd = np.sqrt(1 - rho * rho)
+        for t in range(1, T):
+            ar[t] = rho * ar[t - 1] + sd * rng.standard_normal((C, 1))
+        mon = ConvergenceMonitor()
+        for lo in range(0, T, 500):
+            mon.update(ar[lo:lo + 500])
+        want = diagnostics.ess(ar[:, :, 0])
+        got = mon.ess_stream()[0]
+        assert abs(got - want) / want < 0.15, (rho, got, want)
+
+
+def test_monitor_ess_stream_fallback_and_ar2():
+    """Before 16 full buckets exist ess_stream delegates to the lag-1
+    estimate; on an AR(2) chain (where lag-1 overstates ESS ~2x) the
+    bucket-mean Geyer estimate stays within 20% of the post-hoc one."""
+    from demcmc_tpu import diagnostics
+    from demcmc_tpu.utils.monitor import ConvergenceMonitor
+    rng = np.random.default_rng(3)
+    mon = ConvergenceMonitor()
+    mon.update(rng.standard_normal((8, 2, 1)))
+    np.testing.assert_allclose(mon.ess_stream(), mon.ess_rough())
+    # AR(2): x_t = a1 x_{t-1} + a2 x_{t-2} + e  (oscillatory memory)
+    T, C = 8192, 4
+    a1, a2 = 0.4, 0.35
+    x = np.zeros((T, C, 1))
+    x[0] = rng.standard_normal((C, 1))
+    x[1] = rng.standard_normal((C, 1))
+    for t in range(2, T):
+        x[t] = (a1 * x[t - 1] + a2 * x[t - 2]
+                + rng.standard_normal((C, 1)))
+    mon2 = ConvergenceMonitor()
+    for lo in range(0, T, 777):
+        mon2.update(x[lo:lo + 777])
+    want = diagnostics.ess(x[:, :, 0])
+    got = mon2.ess_stream()[0]
+    assert abs(got - want) / want < 0.2, (got, want)
+
+
 def test_sample_stop_rhat_early_stop():
     """stop_rhat ends the run at a chunk boundary once streaming R̂max
     hits the target; the returned chains hold only the draws taken and
