@@ -202,12 +202,17 @@ def supported(model, de, spec) -> bool:
 RESAMPLE_CF = 128          # padded lane width (population and history)
 RESAMPLE_MAX_C = 128       # real chains must fit one sublane row
 RESAMPLE_S_GRAN = 64       # slab-count rounding granule (compile reuse)
-# History VMEM budget: the flagship MVN config's 50k-iteration history
-# (~19 MB packed) runs; ~37 MB (100k rows) compiles but ABORTS the
-# device at kernel load (observed on v5e 2026-08-20 — the remote
-# backend does not enforce vmem_limit_bytes at compile time), so the
-# static bound stays at a measured-safe 24 MiB and longer runs fall
-# back to the XLA step via ``accepts_history``.
+# In-VMEM history engine budget: the flagship MVN config's
+# 50k-iteration history (~19 MB packed) runs; ~37 MB (100k rows)
+# compiles but ABORTS the device at kernel load (observed on v5e
+# 2026-08-20 — the remote backend does not enforce vmem_limit_bytes at
+# compile time), so the static bound stays at a measured-safe 24 MiB.
+# Since round 5 this is an ENGINE-SELECTION threshold, not a run-length
+# ceiling: histories past it take the HBM-streaming engine
+# (``hist_stream`` in :func:`build_fused_step` — XLA pre-gather of the
+# launch's partner rows + a small VMEM write window), which is bitwise
+# identical and bounded only by HBM, like the reference's plain-RAM
+# history (``src/utilities.jl:24-41``).
 RESAMPLE_HIST_VMEM = 24 * 1024 * 1024   # history VMEM budget (bytes)
 RESAMPLE_SMEM_IDX = 16384  # index words per launch (SMEM budget)
 # hard physical bound for a single launch's flat index array (~800 KB
@@ -1063,7 +1068,8 @@ _call_prims = ("pjit", "closed_call", "core_call", "custom_jvp_call",
 
 
 def build_fused_step(model, de, spec, interpret=None, K=1,
-                     mig_in_kernel=False, emit="all", hist_S=None):
+                     mig_in_kernel=False, emit="all", hist_S=None,
+                     hist_stream=False):
     """Returns ``kernel_call(theta3 [d,R,Cf], weight3 [R,Cf], key2 [2]
     uint32, it scalar, fire [1,1] int32) -> (theta_traj [K,d,R,Cf],
     w_traj [K,R,Cf], accept [K,R,Cf] bool, fire_out [1,1])`` — ``K``
@@ -1081,6 +1087,20 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     same without-replacement semantics as the XLA step) and shipped
     through SMEM.  Reference: ``src/crossover.jl:103-140`` (resample +
     snooker partner draws from ``de.samples``).
+
+    ``hist_stream=True`` switches the resample path to the HBM-RESIDENT
+    history engine (no VMEM ceiling — the reference's history is plain
+    RAM, ``src/utilities.jl:24-41``, so any ``n_iter`` must work): the
+    partner (row, chain) draws are known in XLA BEFORE the launch, so
+    rows older than the launch (row < it0-1) are PRE-GATHERED in XLA
+    into a compact ``[ceil(K·slots·C/128), d, 128]`` lane-packed buffer
+    the kernel reads by static-order flat index, while rows written
+    DURING the launch come from a small VMEM window of the
+    ``(K-1)//B + 2`` slabs this launch writes (DMA'd in at k==0,
+    updated per iteration, DMA'd back at k==K-1).  Only the window
+    round-trips; the full history never leaves HBM.  Values fetched are
+    identical to the in-VMEM engine, so the two modes are BITWISE equal
+    (regression-tested).
 
     ``emit='last'`` shrinks the trajectory outputs to ``[1, ...]`` —
     every grid step writes the same (VMEM-resident) output block, so
@@ -1118,6 +1138,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     C = G * Np
     R = _R
     resample = bool(de.uses_resample)
+    stream = bool(hist_stream) and resample
     # sequential (reference-exact in-place) sweep: Np masked sub-sweeps
     # per iteration — see DE.sweep; 'auto' resolves it for Np <= 4 where
     # the synchronous form's invariance bias is material
@@ -1134,6 +1155,15 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         C_real, Cf = C, C // R
         S_hist = n_slots = 0
     n_slots_tot = n_slots * n_members
+    if stream:
+        # window of slabs this launch writes (rows it0-1 .. it0+K-2)
+        W_win = min((K - 1) // B_hist + 2, S_hist)
+        # pre-gather buffer: one lane-packed [d, 128] slab per 128
+        # consecutive flat fetches (static fetch order j = (k·slots_tot
+        # + slot)·C + c — the SAME flat order as the SMEM index array)
+        n_pre = -(-(K * n_slots_tot * C_real) // Cf)
+    else:
+        W_win = n_pre = 0
     Gr = max(Cf // Np, 1)             # groups per sublane row (G == R·Gr)
     HIGH = jax.lax.Precision.HIGHEST  # bitexact one-hot contractions
     dt = jnp.float32
@@ -1548,20 +1578,29 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
     def kernel(it_ref, key_ref, fire_in_ref, *refs):
         if resample:
-            idx_ref, refs = refs[0], refs[1:]     # SMEM [K, n_slots, C_real]
+            idx_ref, refs = refs[0], refs[1:]     # SMEM flat [K·slots·C]
+        if stream:
+            pre_ref, refs = refs[0], refs[1:]     # VMEM [n_pre, d, Cf]
         if interpret:
             bits_ref, refs = refs[0], refs[1:]
         ship_refs = refs[:len(ship)]
         refs = refs[len(ship):]
         theta_ref, w_ref, refs = refs[0], refs[1], refs[2:]
         if resample:
-            hist_in_ref, refs = refs[0], refs[1:]  # HBM [S, d, Cf]
+            # vmem engine: the FULL history in HBM (whole-ref DMA);
+            # stream engine: the launch's write WINDOW [W, d, Cf],
+            # sliced out in XLA and shipped as a normal VMEM input
+            hist_in_ref, refs = refs[0], refs[1:]
         out_t_ref, out_w_ref, out_acc_ref, out_fire_ref = refs[:4]
         refs = refs[4:]
         if resample:
             hist_out_ref, refs = refs[0], refs[1:]
         scratch = refs
-        if resample:
+        if stream:
+            # the window OUTPUT block (constant index map) is the
+            # persistent VMEM store itself — no scratch, no manual DMA
+            hist_sc = hist_out_ref
+        elif resample:
             hist_sc, dma_sem = scratch[-2:]
             scratch = scratch[:-2]
         if is_random_gamma:
@@ -1569,6 +1608,16 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         else:
             theta_sc, w_sc, fire_sc = scratch
         k = pl.program_id(0)
+
+        if stream:
+            # base slab of this launch's write window (rows it0-1 ..
+            # it0+K-2), clamped so [wb, wb+W_win) stays inside the
+            # buffer — the clamp can only LOWER wb, so window-relative
+            # row slabs stay in range.  The SAME formula runs in XLA
+            # (kernel_call) to slice the window in and update it back:
+            # the two must stay identical.
+            wb = jnp.minimum((it_ref[0] - 1) // np.int32(B_hist),
+                             np.int32(S_hist - W_win))
 
         @pl.when(k == 0)
         def _():
@@ -1582,7 +1631,14 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 fire_sc[0] = jnp.int32(0)
             else:
                 fire_sc[0] = fire_in_ref[0]
-            if resample:
+            if stream:
+                # seed the persistent window OUTPUT block from the
+                # window input (XLA sliced it out of the HBM history;
+                # partial-ref DMAs on ANY refs crash this backend —
+                # probe_mosaic9b — so the window rides the normal
+                # pallas input/output pipeline instead)
+                hist_sc[:] = hist_in_ref[:]
+            elif resample:
                 # the whole packed history HBM -> VMEM once per launch;
                 # per-iteration reads/writes then stay in VMEM and the
                 # final state DMAs back at k == K-1 (amortized by K)
@@ -1730,11 +1786,27 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 on-chip); flat it costs its true 4·K·slots·C bytes."""
                 buf = jnp.zeros((d, R, Cf), dt)
                 for c in range(C_real):
-                    packed = idx_ref[(k * n_slots_tot + slot)
-                                     * C_real + c]
+                    j = (k * n_slots_tot + slot) * C_real + c
+                    packed = idx_ref[j]
                     slab = packed // np.int32(Cf)
                     ln = packed % np.int32(Cf)
-                    slabv = hist_sc[pl.ds(slab, 1)].reshape(d, Cf)
+                    if stream:
+                        # rows older than this launch (row < it0-1) were
+                        # pre-gathered in XLA at flat position j; rows
+                        # written DURING the launch come from the VMEM
+                        # window.  Select the [d, Cf] source slab by the
+                        # scalar condition, then do ONE lane reduction.
+                        row = (slab * np.int32(B_hist)
+                               + ln // np.int32(C_real))
+                        in_win = row >= it_ref[0] - 1
+                        relw = jnp.clip(slab - wb, 0, W_win - 1)
+                        winv = hist_sc[pl.ds(relw, 1)].reshape(d, Cf)
+                        prev = pre_ref[
+                            pl.ds(j // np.int32(Cf), 1)].reshape(d, Cf)
+                        slabv = jnp.where(in_win, winv, prev)
+                        ln = jnp.where(in_win, ln, j % np.int32(Cf))
+                    else:
+                        slabv = hist_sc[pl.ds(slab, 1)].reshape(d, Cf)
                     col = jnp.sum(
                         jnp.where(lane_h == ln, slabv,
                                   jnp.zeros_like(slabv)),
@@ -1993,6 +2065,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             # and shifted to the window by a dynamic lane roll.
             roww = it - 1
             slab_w = roww // np.int32(B_hist)
+            if stream:
+                slab_w = slab_w - wb          # window-relative slab
             off = (roww % np.int32(B_hist)) * np.int32(C_real)
             row0 = theta_sc[:, 0, :]                      # [d, Cf]
             moved = pltpu.roll(row0, off, axis=1)
@@ -2019,10 +2093,13 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         @pl.when(k == K - 1)
         def _():
             out_fire_ref[0] = fire_sc[0]
-            if resample:
+            if resample and not stream:
                 cp = pltpu.make_async_copy(hist_sc, hist_out_ref, dma_sem)
                 cp.start()
                 cp.wait()
+            # stream: the window output block flushes itself (normal
+            # pallas output pipeline); XLA dynamic_update_slices it
+            # back into the HBM history after the launch
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
 
@@ -2031,9 +2108,11 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
     in_specs = ([smem(), smem(), smem()]           # it0, key, fire_in
                 + ([smem()] if resample else [])   # partner indices
+                + ([vfull()] if stream else [])    # pre-gathered rows
                 + ([vfull()] if interpret else [])
                 + [vfull() for _ in ship] + [vfull(), vfull()]
-                + ([pl.BlockSpec(memory_space=pl.ANY)]   # history HBM
+                + ([vfull()] if stream else          # window [W, d, Cf]
+                   [pl.BlockSpec(memory_space=pl.ANY)]   # history HBM
                    if resample else []))
     if emit == "all":
         T_out = K
@@ -2056,30 +2135,38 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                   pl.BlockSpec((1, R, Cf), w_idx),
                   pl.BlockSpec((1, R, Cf), w_idx),
                   smem())
-                 + ((pl.BlockSpec(memory_space=pl.ANY),)
+                 + (((pl.BlockSpec((W_win, d, Cf),
+                                   lambda k: (0, 0, 0)),) if stream else
+                     (pl.BlockSpec(memory_space=pl.ANY),))
                     if resample else ()))
     out_shape = ((jax.ShapeDtypeStruct((T_out, d, R, Cf), dt),
                   jax.ShapeDtypeStruct((T_out, R, Cf), dt),
                   jax.ShapeDtypeStruct((T_out, R, Cf), bool),
                   jax.ShapeDtypeStruct((1,), jnp.int32))
-                 + ((jax.ShapeDtypeStruct((S_hist, d, Cf), dt),)
+                 + ((jax.ShapeDtypeStruct(
+                         ((W_win if stream else S_hist), d, Cf), dt),)
                     if resample else ()))
     scratch_shapes = [pltpu.VMEM((d, R, Cf), dt), pltpu.VMEM((R, Cf), dt)]
     if is_random_gamma:
         scratch_shapes.append(pltpu.VMEM((d, R, Cf), dt))   # bterm
     scratch_shapes.append(pltpu.SMEM((1,), jnp.int32))      # fire
-    if resample:
-        scratch_shapes.append(pltpu.VMEM((S_hist, d, Cf), dt))  # history
+    if resample and not stream:
+        # in-VMEM engine only: whole-history scratch + DMA semaphore
+        # (the stream engine's window lives in its OUTPUT block)
+        scratch_shapes.append(pltpu.VMEM((S_hist, d, Cf), dt))
         scratch_shapes.append(pltpu.SemaphoreType.DMA)
     vmem_budget = 64 * 1024 * 1024
     io_aliases = {}
     if resample:
-        # history VMEM scratch on top of the standard budget
-        vmem_budget += S_hist * d * Cf * 4
+        # history window/scratch (+ pre-gather input) on top of the
+        # standard budget
+        vmem_budget += ((W_win + n_pre) if stream else S_hist) * d * Cf * 4
         # the history input updates in place (only rows < it are ever
         # read and only row it-1 is written, so the k==0 DMA-in never
-        # races the k==K-1 DMA-out of the same launch)
-        n_inputs = 3 + 1 + (1 if interpret else 0) + len(ship) + 2 + 1
+        # races the k==K-1 DMA-out of the same launch).  Stream mode:
+        # the window input/output pair aliases the same way.
+        n_inputs = (3 + 1 + (1 if stream else 0)
+                    + (1 if interpret else 0) + len(ship) + 2 + 1)
         io_aliases = {n_inputs - 1: 4}
     call = pl.pallas_call(
         kernel,
@@ -2139,23 +2226,57 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         # would be tile-padded to (8, 128) minors
         return jax.vmap(one_iter)(its).reshape(-1)
 
+    def _resample_pre(idx_flat, hist):
+        """XLA pre-gather for the streaming engine: history columns for
+        every flat fetch j, lane-packed ``[n_pre, d, Cf]`` (value j at
+        slab j//Cf, lane j%Cf — the kernel reads by its own static
+        fetch order).  Fetches whose row falls in the launch's write
+        window gather garbage here (their slab index is still in
+        bounds) and are overridden in-kernel from the VMEM window."""
+        S = hist.shape[0]
+        hist2 = jnp.transpose(hist, (0, 2, 1)).reshape(S * Cf, d)
+        N = idx_flat.shape[0]
+        pad = n_pre * Cf - N
+        idxp = jnp.concatenate(
+            [idx_flat, jnp.zeros((pad,), jnp.int32)]) if pad else idx_flat
+        vals = jnp.take(hist2, idxp, axis=0)              # [n_pre·Cf, d]
+        return jnp.transpose(vals.reshape(n_pre, Cf, d), (0, 2, 1))
+
     def kernel_call(theta3, weight3, key2, it, fire, hist=None):
         it32 = it.astype(jnp.int32)
         extra = ()
         if resample:
-            extra += (_resample_idx(key2, it32),)
+            idx_flat = _resample_idx(key2, it32)
+            extra += (idx_flat,)
+            if stream:
+                extra += (_resample_pre(idx_flat, hist),)
         if interpret:
             key = jax.random.wrap_key_data(key2, impl="threefry2x32")
             bits = [jax.random.bits(jax.random.fold_in(key, it32 + kk),
                                     (n_words, C), jnp.uint32)
                     for kk in range(K)]
             extra += (jnp.concatenate(bits, axis=0),)
+        if stream:
+            # XLA slices the launch's write window out of the HBM
+            # history and splices the kernel's updated window back —
+            # the full history never round-trips (partial-ref DMAs on
+            # ANY refs crash this backend, probe_mosaic9b); wb must
+            # match the kernel's own formula exactly
+            wb = jnp.minimum((it32 - 1) // B_hist, S_hist - W_win)
+            z = jnp.int32(0)
+            hist_arg = jax.lax.dynamic_slice(
+                hist, (wb, z, z), (W_win, d, Cf))
+        else:
+            hist_arg = hist
         args = (list(extra) + [jnp.asarray(x) for x in ship]
-                + [theta3, weight3] + ([hist] if resample else []))
+                + [theta3, weight3] + ([hist_arg] if resample else []))
         out = call(it32.reshape(1), key2.astype(jnp.uint32),
                    fire.reshape(1).astype(jnp.int32), *args)
         if resample:
             t, wout, a, f, hist_out = out
+            if stream:
+                hist_out = jax.lax.dynamic_update_slice(
+                    hist, hist_out, (wb, z, z))
             return t, wout, a, f.reshape(1, 1), hist_out
         t, wout, a, f = out
         return t, wout, a, f.reshape(1, 1)

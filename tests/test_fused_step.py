@@ -268,6 +268,46 @@ def test_resample_superstep_and_thin_bitwise(interpret, monkeypatch):
                                   np.asarray(ys1.accept[2:15:3]))
 
 
+def test_resample_stream_bitwise_vs_vmem(interpret, monkeypatch):
+    """The HBM-streaming history engine (XLA pre-gather + VMEM write
+    window; verdict r4 item 1) is BITWISE identical to the in-VMEM
+    engine where both fit — single steps, supersteps, and the packed
+    history itself — including launches whose partner draws hit rows
+    written earlier in the SAME launch (the window path)."""
+    from demcmc_tpu.sampler import _grow_history, init_state, run_scan
+
+    def run(mode, n, thin=1, super_k=None):
+        monkeypatch.setenv("DEMCMC_RESAMPLE_STREAM", mode)
+        if super_k is not None:
+            monkeypatch.setenv("DEMCMC_SUPER_K", str(super_k))
+        model, de = _make_resample(burnin=5)
+        spec = make_spec(model, de)
+        step = build_step(model, de, spec)
+        assert getattr(step, "resample_fused", False)
+        st = step.to_fused(
+            _grow_history(init_state(model, de, spec, 0), n))
+        st, ys = run_scan(step, st, n, thin=thin)
+        return (np.asarray(ys.theta), np.asarray(ys.accept),
+                np.asarray(step.from_fused(st).history))
+
+    # single-step launches (K=1: every partner row predates the launch)
+    t0, a0, h0 = run("0", 14)
+    t1, a1, h1 = run("1", 14)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(a0, a1)
+    np.testing.assert_array_equal(h0, h1)
+    # superstep launches (K=6: late iterations draw partners from rows
+    # written by earlier grid steps -> exercises the window overlay)
+    t2, a2, h2 = run("0", 18, super_k=6)
+    t3, a3, h3 = run("1", 18, super_k=6)
+    np.testing.assert_array_equal(t2, t3)
+    np.testing.assert_array_equal(h2, h3)
+    # thin path (emit='last' / strided) under streaming
+    t4, _, _ = run("0", 12, thin=3, super_k=6)
+    t5, _, _ = run("1", 12, thin=3, super_k=6)
+    np.testing.assert_array_equal(t4, t5)
+
+
 def test_resample_resume_bitwise(interpret):
     """Resume is bitwise on the real chains, from BOTH state layouts:
     the unpacked [H, C, d] state sample() returns, and a raw
