@@ -69,25 +69,37 @@ def bench_model(model, de, n_iter=100000):
 
         scan_len = n_iter
 
-    # warmup with the SAME scan length so the timed call hits the cache
-    n = jnp.zeros(scan_len, jnp.int8)
-    s = run(state, n)
-    jax.block_until_ready(s)
+    t = _robust_time(run, state, scan_len)
+    return n_iter * de.n_chains / t
 
-    # median-of-3 with full-state blocking: blocking on a single output
-    # leaf once produced a physically impossible 144 µs reading for a
-    # 5000-iteration scan over the async tunnel (min-of-3 then kept it);
-    # the median of full-tree-blocked reps is robust to both tails.
-    # The tunnel's dispatch round-trip alone is ~31 ms — a rep below
-    # ~25 ms means block_until_ready returned without a real dispatch
-    # (observed once: a 20000-iteration scan "completing" in 2.7 ms);
-    # re-measure instead of reporting a fantasy number
+
+def _robust_time(run, state, scan_len):
+    """Median-of-3 wall time of ``run(state, dummy[scan_len])`` with
+    full-state blocking, after a same-length warmup.
+
+    Blocking on a single output leaf once produced a physically
+    impossible 144 µs reading for a 5000-iteration scan over the async
+    tunnel (min-of-3 then kept it); the median of full-tree-blocked
+    reps is robust to both tails.  The tunnel's dispatch round-trip
+    alone is ~31 ms — a rep below ~25 ms means block_until_ready
+    returned without a real dispatch (observed once: a 20000-iteration
+    scan "completing" in 2.7 ms); re-measure instead of reporting a
+    fantasy number."""
+    n = jnp.zeros(scan_len, jnp.int8)
+    s = run(state, n)                  # warmup at the SAME scan length
+    jax.block_until_ready(s)
+    del s
+    # every rep restarts from the ORIGINAL state: chaining s = run(s, n)
+    # advanced `iteration` past the grown history buffer, and
+    # resample-history rows written past the buffer are out-of-contract
+    # (observed on-chip round 5: the stream engine's window writes then
+    # land far out of VMEM bounds and fault the device — NOTES.md)
     for attempt in range(3):
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            s = run(s, n)
-            jax.block_until_ready(s)
+            out = run(state, n)
+            jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
         t = sorted(times)[1]
         if t > 0.025:
@@ -96,7 +108,7 @@ def bench_model(model, de, n_iter=100000):
         print(f"# implausible timings {times}, re-measuring",
               file=sys.stderr, flush=True)
     assert t > 0.025, f"implausible timing {times} (async dispatch leak?)"
-    return n_iter * de.n_chains / t
+    return t
 
 
 def pct_of_floor(model, de, rate):
@@ -111,6 +123,35 @@ def pct_of_floor(model, de, rate):
         return None, None
     measured_us = de.n_chains / rate * 1e6     # per-iteration wall
     return round(fl["floor_us"] / measured_us, 4), fl
+
+
+def bench_packed_alpha(R=64, n_iter=100000):
+    """Packed replicated fits with replication-local migration ON
+    (alpha=0.1): R Gaussian runs (Np=4, G=4 — 16 chains each) as one
+    fused population, superstep launches + XLA coalesced event replay
+    at window boundaries.  Returns chain-steps/s over all R·16 chains
+    (verdict r4 item 5's bench entry)."""
+    from demcmc_tpu.models import gaussian as gmod
+    from demcmc_tpu.sampler import _packed_setup
+
+    rng_ = np.random.default_rng(5)
+    datasets = jnp.asarray(rng_.normal(0, 1, (R, 50)).astype(np.float32))
+    de = gmod.DE(bounds=gmod.BOUNDS, Np=4, n_groups=4, burnin=100,
+                 alpha=0.1)
+    step, state, _, _, _ = _packed_setup(gmod.make_model, de, datasets, 0)
+    sup = step.get_superstep()
+    assert sup is not None
+    k = step.superstep_k
+    n_iter += (-n_iter) % k
+
+    @jax.jit
+    def run(s, dummy):
+        s, _ = jax.lax.scan(lambda c, _: (sup(c)[0], None), s, None,
+                            length=dummy.shape[0])
+        return s
+
+    t = _robust_time(run, state, n_iter // k)
+    return n_iter * R * de.n_chains / t
 
 
 def main():
@@ -149,15 +190,23 @@ def main():
     # MVN, Np=3, n_groups=1, snooker 0.1 + resample — the reference's
     # hardest statistical config, fused since round 4 (the small-C
     # regime where launch overhead dominates).  50k iterations = the
-    # reference's own flagship length; it is also near the in-kernel
-    # history's VMEM ceiling (~19 MB packed; 100k ≈ 37 MB faults the
-    # device at kernel load).  At ~0.3 s wall the ~31 ms tunnel
-    # dispatch is ~10% of the measurement — the number is
+    # reference's own flagship length (in-VMEM history engine); the
+    # 100k entry runs the round-5 HBM-STREAMING engine (the packed
+    # history is ~37 MB — past the in-VMEM ceiling that used to drop
+    # such runs to the XLA step).  At ~0.3-1 s wall the ~31 ms tunnel
+    # dispatch is ~3-10% of the measurement — both numbers are
     # conservatively UNDERstated.
     from demcmc_tpu.models import mvnormal
     model_r, de_r = mvnormal.make(d=30, n_obs=100, key=1, burnin=2000)
     mvn_res_rate = bench_model(model_r, de_r, n_iter=50000)
     mvn_res_iters = mvn_res_rate / de_r.n_chains
+    mvn_res_rate_100k = bench_model(model_r, de_r, n_iter=100000)
+    mvn_res_iters_100k = mvn_res_rate_100k / de_r.n_chains
+
+    # packed replicated fits WITH the reference-default migration
+    # (alpha=0.1, replication-local coalesced replay — round 5): 64
+    # Gaussian fits (Np=4, G=4) as one 1024-chain fused population
+    packed_alpha_rate = bench_packed_alpha()
 
     # ESS/s: posterior-quality throughput (BASELINE.json metric),
     # computed ENTIRELY on device — sampling scan + bulk-ESS of mu over
@@ -259,6 +308,13 @@ def main():
         # iterations/s is the relevant figure at 3 chains
         "mvn_resample_iters_per_s": round(mvn_res_iters, 1),
         "mvn_resample_chain_steps_per_s": round(mvn_res_rate, 1),
+        # same config at 100k iterations: the HBM-streaming history
+        # engine (round 5) — this run used to fall back to the XLA step
+        "mvn_resample_100k_iters_per_s": round(mvn_res_iters_100k, 1),
+        # 64 packed replications with reference-default migration
+        # alpha=0.1 (replication-local coalesced replay, round 5)
+        "packed_replicated_alpha01_chain_steps_per_s":
+            round(packed_alpha_rate, 1),
         "gaussian_ess_per_s_on_device": round(float(ess_per_s), 1),
         "n_chains": N_CHAINS,
         "device": str(jax.devices()[0].platform),

@@ -2066,7 +2066,14 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             roww = it - 1
             slab_w = roww // np.int32(B_hist)
             if stream:
-                slab_w = slab_w - wb          # window-relative slab
+                # window-relative slab; clamped so a driver running
+                # iterations past the grown history (out of contract —
+                # sample() always grows H >= n_iter) corrupts the last
+                # window slab instead of writing far outside the VMEM
+                # buffer and FAULTING the device (observed on-chip r5)
+                slab_w = jnp.clip(slab_w - wb, 0, W_win - 1)
+            else:
+                slab_w = jnp.minimum(slab_w, np.int32(S_hist - 1))
             off = (roww % np.int32(B_hist)) * np.int32(C_real)
             row0 = theta_sc[:, 0, :]                      # [d, Cf]
             moved = pltpu.roll(row0, off, axis=1)

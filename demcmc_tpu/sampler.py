@@ -730,6 +730,103 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     return step
 
 
+def _wrap_packed_migration(inner, spec, n_reps: int, G_rep: int,
+                           Np: int, alpha: float, base_super_k: int):
+    """Replication-LOCAL migration for :func:`sample_replicated_packed`
+    at ``alpha > 0`` (verdict r4 item 5).
+
+    The packed kernel runs with migration OFF (its in-kernel network
+    spans all ``R·G`` groups — the wrong law: the reference migrates
+    within one run's G groups, ``src/migration.jl:11-19``).  Migration
+    is instead replayed here at XLA level between launches: the
+    reference's gate (``rand() <= α`` per iteration per run,
+    ``src/main.jl:85``) is STATE-INDEPENDENT, so each (iteration,
+    replication) event is drawn from the iteration-keyed stream and the
+    window's events replay coalesced at the launch boundary — exact for
+    the posterior because migration is a state-independently-scheduled
+    permutation of that replication's chains (the same argument as the
+    coalesced mesh superstep, PARITY.md delta 6; at K=1 the replay IS
+    the per-iteration reference law).  Iteration-keyed gates make the
+    EVENT SCHEDULE identical for any mix of launch sizes; event keys
+    and coalescing positions still depend on the window split, so
+    different launch mixes are statistically (not bitwise)
+    equivalent — the packed path's standing contract."""
+    d = spec.dim
+
+    def _replay(state, K: int):
+        t3, w3 = state.theta, state.weight
+        d_, Rr, Cf = t3.shape
+        its = state.iteration + jnp.arange(K, dtype=jnp.int32)
+
+        def gate(it):
+            kk = jax.random.fold_in(rng.step_key(state.key, it),
+                                    rng.MIGRATE)
+            return jax.random.uniform(kk, (n_reps,)) <= alpha
+
+        counts = jnp.sum(jax.vmap(gate)(its).astype(jnp.int32), axis=0)
+
+        def fired(args):
+            t3, w3 = args
+            tg = t3.reshape(d_, n_reps, G_rep, Np).transpose(1, 2, 3, 0)
+            wg = w3.reshape(n_reps, G_rep, Np)
+            base = jax.random.fold_in(
+                rng.step_key(state.key, state.iteration), rng.MIGRATE)
+            ev_base = jax.random.fold_in(base, rng.MIG_EVENT_NS)
+            rkeys = jax.vmap(
+                lambda r: jax.random.fold_in(ev_base, r))(
+                    jnp.arange(n_reps))
+
+            def body(j, carry):
+                tg, wg = carry
+
+                def one(kr, t, w, fire):
+                    return migration_ops.migrate(
+                        rng.KeyDraws(jax.random.fold_in(kr, j)),
+                        t, w, G_rep, fire=fire)
+
+                return jax.vmap(one)(rkeys, tg, wg, j < counts)
+
+            tg, wg = jax.lax.fori_loop(0, jnp.max(counts), body,
+                                       (tg, wg))
+            return (tg.transpose(3, 0, 1, 2).reshape(d_, Rr, Cf),
+                    wg.reshape(Rr, Cf))
+
+        t3, w3 = jax.lax.cond(jnp.max(counts) > 0, fired, lambda a: a,
+                              (t3, w3))
+        return state._replace(theta=t3, weight=w3)
+
+    def step(state: SamplerState, _=None):
+        return inner(_replay(state, 1))
+
+    def get_superstep():
+        inner_super = inner.get_superstep()
+        if inner_super is None:
+            return None
+        sk = inner.superstep_k
+
+        def superstep(state, _=None):
+            return inner_super(_replay(state, sk))
+        step.superstep_k = sk
+        return superstep
+
+    def get_thin_step(thin):
+        inner_thin = inner.get_thin_step(thin)
+        if inner_thin is None:
+            return None
+
+        def thin_step(state, _=None):
+            return inner_thin(_replay(state, thin))
+        return thin_step
+
+    step.fused = True
+    step.superstep_k = base_super_k
+    step.get_superstep = get_superstep
+    step.get_thin_step = get_thin_step
+    step.to_fused = inner.to_fused
+    step.from_fused = inner.from_fused
+    return step
+
+
 def _unpack_fused_state(state: SamplerState, G: int, Np: int,
                         d: int) -> SamplerState:
     """Fused kernel layout (theta ``[d, 8, C/8]``, weight ``[8, C/8]``,
@@ -1513,40 +1610,9 @@ def sample_replicated(make_model, de: DE, n_iter: int, datasets, key=0,
             for r in range(R)]
 
 
-def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
-                             key=0, thin: int = 1):
-    """R independent replications PACKED into one fused-kernel
-    population: replication r's ``n_groups`` groups become groups
-    ``[r·G, (r+1)·G)`` of a single ``R·G``-group run, and each data
-    leaf expands to a per-chain constant (trailing ``[8, C_tot/8]``
-    axes) that the kernel's build-time partial evaluator folds like any
-    other data.  Groups never interact when ``alpha == 0``, so the
-    packed run IS R independent runs — at one-Pallas-kernel-per-
-    iteration speed, where :func:`sample_replicated` vmaps the
-    multi-kernel XLA step.
-
-    Contract beyond :func:`sample_replicated`:
-
-    * ``de.alpha`` must be 0 (migration would exchange particles ACROSS
-      replications);
-    * the packed configuration (``n_groups = R·G``) must be fused-
-      supported, and the model's ``loglike_batched`` must compute any
-      host-side data statistics along axis 0 only, so data leaves with
-      trailing chain axes broadcast (true of the zoo densities);
-    * chains are NOT bitwise-equal to serial ``sample`` runs (all
-      replications draw from one per-chain PRNG stream) — statistically
-      equivalent only.  Initial states DO match the serial runs (same
-      per-replication init keys).
-
-    Returns a list of R :class:`Chains`.
-    """
-    if float(de.alpha) != 0.0:
-        raise ValueError("sample_replicated_packed requires alpha=0 "
-                         "(migration would mix replications); use "
-                         "sample_replicated for alpha > 0")
-    if thin > 1 and de.discard_burnin and de.burnin % thin:
-        raise ValueError(f"burnin ({de.burnin}) must be divisible by "
-                         f"thin ({thin})")
+def _packed_setup(make_model, de: DE, datasets, key):
+    """Build the packed replicated step + initial fused state (shared by
+    :func:`sample_replicated_packed` and bench.py's packed entry)."""
     datasets, keys, model0, spec, R = _replicated_setup(
         make_model, de, datasets, key, None)
     import dataclasses as _dc
@@ -1560,7 +1626,11 @@ def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
         raise ValueError(f"packed population C={C_tot} does not fit the "
                          f"kernel layout (C % 8 == 0, (C/8) % Np == 0)")
     Cf_tot = C_tot // Rrow
-    de_packed = _dc.replace(de, n_groups=G * R)
+    # the packed kernel runs with migration OFF — replication-local
+    # migration replays at XLA level between launches (see
+    # sample_replicated_packed docstring / _wrap_packed_migration)
+    alpha = float(de.alpha) if de.n_groups > 1 else 0.0
+    de_packed = _dc.replace(de, n_groups=G * R, alpha=0.0)
 
     def pack(leaf):
         a = np.asarray(leaf)                      # [R, *obs]
@@ -1577,6 +1647,9 @@ def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
         raise ValueError(
             "configuration is not fused-supported when packed "
             f"(n_groups={G * R}); use sample_replicated")
+    if alpha > 0.0:
+        step = _wrap_packed_migration(step, spec, R, G, Np, alpha,
+                                      step.superstep_k)
 
     # per-replication init with the replication's OWN data and key —
     # identical initial states to the serial runs
@@ -1595,8 +1668,48 @@ def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
                          iteration=jnp.asarray(de.n_initial + 1,
                                                jnp.int32),
                          history=None)
-    state = step.to_fused(state)
+    return step, step.to_fused(state), model0, spec, R
 
+
+def sample_replicated_packed(make_model, de: DE, n_iter: int, datasets,
+                             key=0, thin: int = 1):
+    """R independent replications PACKED into one fused-kernel
+    population: replication r's ``n_groups`` groups become groups
+    ``[r·G, (r+1)·G)`` of a single ``R·G``-group run, and each data
+    leaf expands to a per-chain constant (trailing ``[8, C_tot/8]``
+    axes) that the kernel's build-time partial evaluator folds like any
+    other data.  Groups never interact when ``alpha == 0``, so the
+    packed run IS R independent runs — at one-Pallas-kernel-per-
+    iteration speed, where :func:`sample_replicated` vmaps the
+    multi-kernel XLA step.
+
+    Contract beyond :func:`sample_replicated`:
+
+    * ``de.alpha > 0`` runs migration REPLICATION-LOCALLY: the packed
+      kernel itself migrates nothing (its network would span
+      replications), and each replication's own G groups exchange via
+      the XLA-level coalesced replay (:func:`_wrap_packed_migration` —
+      per-(iteration, replication) Bernoulli(α) events, the reference
+      law per run, ``src/migration.jl:11-19``);
+    * the packed configuration (``n_groups = R·G``) must be fused-
+      supported, and the model's ``loglike_batched`` must compute any
+      host-side data statistics along axis 0 only, so data leaves with
+      trailing chain axes broadcast (true of the zoo densities);
+    * chains are NOT bitwise-equal to serial ``sample`` runs (all
+      replications draw from one per-chain PRNG stream) — statistically
+      equivalent only.  Initial states DO match the serial runs (same
+      per-replication init keys).
+
+    Returns a list of R :class:`Chains`.
+    """
+    if thin > 1 and de.discard_burnin and de.burnin % thin:
+        raise ValueError(f"burnin ({de.burnin}) must be divisible by "
+                         f"thin ({thin})")
+    step, state, model0, spec, R = _packed_setup(make_model, de,
+                                                 datasets, key)
+    G, Np, d = de.n_groups, de.Np, spec.dim
+    C_rep = G * Np
+    C_tot = C_rep * R
     state, ys = run_scan(step, state, n_iter, thin=thin)
     T = ys.theta.shape[0]
     theta = np.swapaxes(np.reshape(np.asarray(ys.theta), (T, d, C_tot)),

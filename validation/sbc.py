@@ -218,7 +218,7 @@ def sbc_discrete(M=40, n_obs=5):
     return np.asarray(ranks)
 
 
-def sbc_packed(M=64, d=2, n_obs=16):
+def sbc_packed(M=64, d=2, n_obs=16, alpha=0.0):
     """SBC of the PACKED replicated fused path
     (``sample_replicated_packed``): M replications run as one
     ``M·n_groups``-group fused-kernel population with per-replication
@@ -273,7 +273,10 @@ def sbc_packed(M=64, d=2, n_obs=16):
             loglike_batched=loglike_batched,
             prior_loglike_batched=prior_loglike_batched)
 
-    de = dm.DE(Np=4, n_groups=4, alpha=0.0, burnin=300,
+    # alpha > 0 exercises the replication-local coalesced migration
+    # replay (verdict r4 item 5): rank uniformity additionally catches
+    # a wrong replay law (biased spread) or cross-replication exchange
+    de = dm.DE(Np=4, n_groups=4, alpha=alpha, burnin=300,
                bounds=((-np.inf, np.inf),))
     reps = sample_replicated_packed(make_model, de, 900, datasets,
                                     key=77)
@@ -339,7 +342,8 @@ def main():
     p4 = _chi2(sbc_discrete(), "discrete-round-and-cast")
     p5 = _chi2(sbc_blocked(), "blocked/reset")
     p6 = _chi2(sbc_packed(), "packed-replications")
-    return min(p, p2, p3, p4, p5, p6)
+    p7 = _chi2(sbc_packed(alpha=0.1), "packed-replications-alpha")
+    return min(p, p2, p3, p4, p5, p6, p7)
 
 
 if __name__ == "__main__":
