@@ -299,9 +299,15 @@ def main():
         "gaussian_pct_of_floor": gauss_pct,
         "gaussian_floor_us_per_iter": (None if gauss_fl is None else
                                        round(gauss_fl["floor_us"], 3)),
+        # class-resolved floor composition (us of the floor spent per
+        # measured VPU op class — utils/roofline.py anchors)
+        "gaussian_floor_class_us": (None if gauss_fl is None else
+                                    gauss_fl.get("class_us")),
         "lba_pct_of_floor": lba_pct,
         "lba_floor_us_per_iter": (None if lba_fl is None else
                                   round(lba_fl["floor_us"], 3)),
+        "lba_floor_class_us": (None if lba_fl is None else
+                               lba_fl.get("class_us")),
         "gaussian_16384_chains_steps_per_s": round(gauss_16k, 1),
         "gaussian_65536_chains_steps_per_s": round(gauss_65k, 1),
         # DE-MCz resample flagship (Np=3 x 30-dim MVN + snooker):

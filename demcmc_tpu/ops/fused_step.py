@@ -426,6 +426,57 @@ def _seg_gather(rolls, idx, p, Np):
     return acc
 
 
+def _seg_gather_bin(x, idx, p, Np):
+    """Within-group dynamic gather by BINARY offset decomposition:
+    ``out[..., c] = x[..., g(c)·Np + idx[c]]`` in ⌈log₂ Np⌉ stages —
+    stage k applies an in-group roll by 2ᵏ (lo/hi global-roll pair
+    merged by the CONSTANT in-segment mask) to the lanes whose offset
+    has bit k set.  In-group rolls compose additively mod Np, so the
+    accumulated shift per lane is exactly ``off``.  vs the
+    ``_roll_dict`` + linear-select form: O(log Np) rolls/selects per
+    gather instead of O(Np) shared build + O(Np) selects — measured
+    2028 → ~1100 select-class slots per iteration on the 4k-chain
+    Gaussian (Np=16), the top cost the class-resolved roofline
+    surfaced (verdict r4 item 2).  Pure transport: no arithmetic
+    touches the values."""
+    off = jnp.remainder(idx - p, Np)             # [R, Cf] in [0, Np)
+    acc = x
+    k = 1
+    while k < Np:
+        lo = _roll(acc, -k)                      # lane c + k (in row)
+        hi = _roll(acc, Np - k)                  # lane c + k - Np
+        ingroup = jnp.where(p + k < Np, lo, hi)   # iota-derived mask
+        acc = jnp.where((off & k) != 0, ingroup, acc)
+        k *= 2
+    return acc
+
+
+def _seg_gather_bin_multi(x, idxs, p, Np):
+    """n simultaneous within-group gathers of ``x [d, R, Cf]`` by
+    STACKING them on the leading axis: ``len(idxs)`` networks share one
+    ⌈log₂ Np⌉-stage roll pipeline on ``[n·d, R, Cf]``, so the ROLL OP
+    count is 2·⌈log₂ Np⌉ total instead of per gather.  Rolls are the
+    kernel's slowest op class (~100 ns per op nearly independent of
+    size ≤ 16 vregs — validation/vpu_peak.py roll scaling, 2026-08-20),
+    so fewer/fatter rolls beat more/thinner ones even at equal element
+    volume.  Returns the n gathered ``[d, R, Cf]`` views."""
+    d = x.shape[0]
+    n = len(idxs)
+    xx = jnp.concatenate([x] * n, axis=0)        # [n·d, R, Cf]
+    off = jnp.concatenate(
+        [jnp.broadcast_to(jnp.remainder(i - p, Np), (d,) + p.shape)
+         for i in idxs])                         # [n·d, R, Cf]
+    acc = xx
+    k = 1
+    while k < Np:
+        lo = _roll(acc, -k)
+        hi = _roll(acc, Np - k)
+        ingroup = jnp.where(p + k < Np, lo, hi)   # iota-derived mask
+        acc = jnp.where((off & k) != 0, ingroup, acc)
+        k *= 2
+    return [acc[j * d:(j + 1) * d] for j in range(n)]
+
+
 # ---------------------------------------------------------------------------
 # kernel builder
 # ---------------------------------------------------------------------------
@@ -1656,6 +1707,9 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             mixed = (it.astype(jnp.uint32) * np.uint32(0x9E3779B9))
             pltpu.prng_seed(key_ref[0] ^ mixed,
                             key_ref[1] + mixed + np.uint32(1))
+        # (pallas kernels may not capture ARRAY constants, so lane/slot
+        # indices stay in-kernel iotas; Mosaic folds iota-derived
+        # predicates where it can)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
         rowI = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 0)
         p = lane % Np                              # within-group slot
@@ -1762,11 +1816,9 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             a = a + (a >= p)
             b = b + (b >= p)
 
-            rolls = _roll_dict(theta, p, Np)
-            pm = _seg_gather(rolls, a, p, Np)      # [d, R, Cf]
-            pn = _seg_gather(rolls, b, p, Np)
+            pm, pn = _seg_gather_bin_multi(theta, [a, b], p, Np)
 
-            return _sweep_tail(theta, w, bkeep, rolls, pm, pn,
+            return _sweep_tail(theta, w, bkeep, pm, pn,
                                member=member, mut_gate=mut_gate)
 
         if resample:
@@ -1833,11 +1885,11 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 if theta_s > 0.0:
                     sn = (fetch_hist(base + 2), fetch_hist(base + 3),
                           fetch_hist(base + 4))
-                return _sweep_tail(theta, w, None, None, pm, pn,
+                return _sweep_tail(theta, w, None, pm, pn,
                                    sn_partners=sn, member=member,
                                    mut_gate=mut_gate)
 
-        def _sweep_tail(theta, w, bkeep, rolls, pm, pn, sn_partners=None,
+        def _sweep_tail(theta, w, bkeep, pm, pn, sn_partners=None,
                         member=None, mut_gate=None):
             if is_random_gamma:
                 u_b = uni(1)
@@ -1870,12 +1922,9 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     for o in range(Np):
                         cnt = cnt + (q_rolls[o] < u_bs).astype(jnp.int32)
                     bidx = jnp.minimum(cnt, Np - 1)
-                    # resample mode passes rolls=None: the dictionary is
-                    # only consumed here, inside the burnin region, so
+                    # all of this lives inside the burnin region, so
                     # post-burnin iterations never pay for it
-                    rl = (rolls if rolls is not None
-                          else _roll_dict(theta, p, Np))
-                    base = _seg_gather(rl, bidx, p, Np)
+                    base = _seg_gather_bin(theta, bidx, p, Np)
                     bterm_sc[:] = g2 * (base - theta)
 
                 @pl.when(it > burnin)
@@ -1905,9 +1954,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                     hi_i = jnp.maximum(az, bz)
                     cz = cz + (cz >= lo_i)
                     cz = cz + (cz >= hi_i)
-                    pz = _seg_gather(rolls, az, p, Np)
-                    pm2 = _seg_gather(rolls, bz, p, Np)
-                    pn2 = _seg_gather(rolls, cz, p, Np)
+                    pz, pm2, pn2 = _seg_gather_bin_multi(
+                        theta, [az, bz, cz], p, Np)
                 pd = theta - pz                         # [d, R, Cf]
                 den0 = jnp.sum(pd * pd, axis=0)         # ‖θ−z‖², [R, Cf]
                 degen = den0 <= tiny

@@ -7,17 +7,13 @@ the measured step time as a percentage of that floor.
 
 Model (documented in NOTES.md):
 
-* The VPU processes one (8, 128) f32 vreg per issue slot; the issue
-  rate used here is the chip's DEMONSTRATED rate from round 2's LBA
-  saturation analysis — ``VPU_ELEM_OPS_PER_S = 0.96e12`` element-ops/s
-  (≈ 940 M vreg-slots/s on this v5e), the point where the fused and XLA
-  paths converged on the same wall time.  This is an *empirical* anchor,
-  not a datasheet number: it already includes issue overheads the
-  datasheet hides, so "100% of floor" means "as fast as this chip has
-  ever been observed to stream vector work".
 * Every compute primitive costs 1 slot per (sublane-, lane-padded)
-  vreg of its OUTPUT; transcendentals (exp/log/tanh/rsqrt/...) cost
-  ``TRANSCENDENTAL_WEIGHT`` slots (multi-pass on the VPU).  Pure
+  vreg of its OUTPUT, priced at its CLASS's measured streaming rate
+  (r5, verdict item 2): FMA-pairable arithmetic, compare/select,
+  transcendental, and cross-lane permute each have their own
+  dependent-chain anchor measured on this chip by
+  ``validation/vpu_peak.py`` — "100% of floor" means "every op class
+  streams as fast as this chip has been measured to stream it".  Pure
   layout/metadata ops (reshape, convert, broadcast, slice, iota) cost 0
   — XLA/Mosaic fold or relayout them, and counting them would flatter
   the floor.
@@ -38,31 +34,48 @@ import numpy as np
 
 import jax
 
-# Peak anchors MEASURED on this chip by validation/vpu_peak.py
-# (2026-08-20, v5e), in the SAME units the counter counts (slots per
-# padded vreg of each primitive's output), so anchor and counter cannot
-# drift apart:
-#   * dependent a*b+c chain (every mul/add pair fuses to one VPU FMA):
-#     2.26e12 counted el-ops/s — the chip's demonstrated peak;
-#   * dependent mul/sub chain (no pairing): 1.80e12;
-#   * dependent exp chain: 1.00e12 → one transcendental = 2.25
-#     peak-slots.
-# The PEAK (FMA-paired) rate is the anchor: pct_of_floor is then a true
-# ≤-1-in-principle utilization, understated for select/compare-heavy
-# code that cannot pair.  (Round 4's first anchor, 0.96e12 — the
-# round-2 LBA saturation point — understated the chip 2.4x and the
-# optimized kernels "beat the floor".)
-VPU_ELEM_OPS_PER_S = 2.26e12     # measured peak counted el-ops/s (v5e)
+# CLASS-RESOLVED anchors MEASURED on this chip by
+# validation/vpu_peak.py (2026-08-20, v5e), in the SAME units the
+# counter counts (slots per padded vreg of each primitive's output), so
+# anchor and counter cannot drift apart.  Measured dependent-chain
+# rates (64-vreg ILP):
+#   * a*b+c chain (every mul/add pair fuses to one VPU FMA): 2.26e12
+#     counted el-ops/s — the chip's demonstrated peak;
+#   * compare+select chain: 2.00e12;
+#   * mul/sub chain (no pairing): 1.78-1.80e12;
+#   * exp chain: 0.88-1.00e12 (two sessions; the floor uses the MAX of
+#     the measured rates per class — a floor must not be beatable).
+# Classification is SAFE-direction: an op of uncertain class counts at
+# the FASTER rate, so the floor is a true lower bound and pct_of_floor
+# a true ≤ 1 utilization (it understates for mixes the scheduler can't
+# stream back-to-back).  Round 4 used the single peak anchor for every
+# class; splitting the classes raises the floor for select-heavy
+# kernels — the honest accounting verdict r4 item 2 asked for.
+VPU_RATE_ARITH = 2.26e12       # add/sub/mul (may FMA-pair): peak rate
+VPU_RATE_SELECT = 2.00e12      # compare/select/min/max/bitwise/int ops
+VPU_RATE_TRANSCEND = 1.00e12   # exp/log/rsqrt/... (multi-pass)
+# cross-lane permutes (pltpu.roll): the permute network streams 6.7x
+# slower than the ALUs even at 64-vreg ILP (3.37e11 el-ops/s measured;
+# per-OP latency ~100 ns nearly independent of size <= 16 vregs, so
+# this per-element rate UNDERSTATES the cost of thin rolls — the safe
+# direction).  Rolls were the unpriced class hiding the round-4
+# Gaussian "gap": ~390 roll slots/iter at the ALU rate looked like 45%
+# lost utilization that was actually permute-bound work.
+VPU_RATE_PERMUTE = 3.37e11
+VPU_ELEM_OPS_PER_S = VPU_RATE_ARITH    # back-compat peak anchor
 HBM_BYTES_PER_S = 819e9          # v5e datasheet HBM bandwidth
 _VREG = 8 * 128
 
-TRANSCENDENTAL_WEIGHT = 2.25
 _TRANSCENDENTAL = {"exp", "log", "log1p", "expm1", "tanh", "sin", "cos",
                    "rsqrt", "sqrt", "pow", "atan2", "cbrt", "logistic",
                    "erf", "erfc", "erf_inv", "lgamma", "digamma"}
+# pairable float arithmetic (counts at the peak rate — safe direction:
+# whether a given mul/add actually fuses is the scheduler's call)
+_ARITH = {"add", "sub", "mul", "add_any", "neg", "abs", "div",
+          "integer_pow", "square"}
 # zero-cost layout/metadata ops (folded or free relayouts)
 _FREE = {"reshape", "broadcast_in_dim", "convert_element_type", "iota",
-         "squeeze", "bitcast_convert_type", "copy", "slice",
+         "squeeze", "bitcast_convert_type", "bitcast", "copy", "slice",
          "dynamic_slice", "dynamic_update_slice", "concatenate",
          "transpose", "rev", "get", "swap", "masked_load", "masked_swap",
          "program_id", "prng_seed", "stop_gradient"}
@@ -83,7 +96,10 @@ class _Uncountable(Exception):
     pass
 
 
-def _walk(jaxpr) -> float:
+def _walk(jaxpr, classes: dict | None = None) -> float:
+    """Count issued VPU slots; with ``classes`` (a dict), also
+    accumulate per-class slot counts under 'arith'/'select'/
+    'transcend'.  Returns the plain total (back-compat)."""
     slots = 0.0
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
@@ -102,17 +118,31 @@ def _walk(jaxpr) -> float:
         for key in ("branches",):
             subs.extend(eqn.params.get(key, ()))
         if subs:
+            inner_cls = {} if classes is not None else None
             inner = 0.0
             for s in subs:
-                inner += _walk(getattr(s, "jaxpr", s))
+                inner += _walk(getattr(s, "jaxpr", s), inner_cls)
             slots += length * inner
+            if classes is not None:
+                for k, v in inner_cls.items():
+                    classes[k] = classes.get(k, 0.0) + length * v
             continue
         if name in _FREE:
             continue
-        w = TRANSCENDENTAL_WEIGHT if name in _TRANSCENDENTAL else 1.0
+        if name in _TRANSCENDENTAL:
+            cls = "transcend"
+        elif name in _ARITH:
+            cls = "arith"
+        elif name == "roll":
+            cls = "permute"
+        else:       # compare/select/min/max/bitwise/shift/int/reduce
+            cls = "select"
         for v in eqn.outvars:
             shape = getattr(v.aval, "shape", ())
-            slots += w * _vregs(shape)
+            vr = _vregs(shape)
+            slots += vr
+            if classes is not None:
+                classes[cls] = classes.get(cls, 0.0) + vr
     return slots
 
 
@@ -174,11 +204,20 @@ def fused_floor(model, de, spec, K=None) -> dict | None:
     if eqn is None:
         return None
     inner = eqn.params["jaxpr"]
+    classes: dict = {}
     try:
-        slots = _walk(inner)        # one GRID STEP = one iteration
+        _walk(inner, classes)       # one GRID STEP = one iteration
     except _Uncountable:
         return None
-    vpu_floor_s = slots / (VPU_ELEM_OPS_PER_S / _VREG)
+    # class-resolved floor: one VPU issues the classes sequentially,
+    # each at ITS measured rate (verdict r4 item 2) — el-ops = slots
+    # per vreg × the 1024 elements each vreg carries
+    rates = {"arith": VPU_RATE_ARITH, "select": VPU_RATE_SELECT,
+             "transcend": VPU_RATE_TRANSCEND,
+             "permute": VPU_RATE_PERMUTE}
+    class_us = {k: classes.get(k, 0.0) * _VREG / rates[k] * 1e6
+                for k in rates}
+    vpu_floor_s = sum(class_us.values()) / 1e6
     # per-iteration HBM traffic: trajectory blocks out (theta, w, accept)
     traj_bytes = (d * R * Cf * 4) + (R * Cf * 4) + (R * Cf * 1)
     # launch-amortized state in/out
@@ -186,4 +225,7 @@ def fused_floor(model, de, spec, K=None) -> dict | None:
     hbm_floor_s = (traj_bytes + state_bytes) / HBM_BYTES_PER_S
     return {"vpu_floor_us": vpu_floor_s * 1e6,
             "hbm_floor_us": hbm_floor_s * 1e6,
-            "floor_us": max(vpu_floor_s, hbm_floor_s) * 1e6}
+            "floor_us": max(vpu_floor_s, hbm_floor_s) * 1e6,
+            "class_slots": {k: round(classes.get(k, 0.0), 1)
+                            for k in rates},
+            "class_us": {k: round(v, 4) for k, v in class_us.items()}}

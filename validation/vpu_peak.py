@@ -95,6 +95,49 @@ def kernel_fma(x_ref, o_ref, acc_sc, b_sc):
         o_ref[:] = acc_sc[:8, :128]
 
 
+def kernel_select(x_ref, o_ref, acc_sc, b_sc):
+    """Dependent compare+select chain (the select/mask class the fused
+    kernel's gather/seg-scan machinery is made of): alternating
+    ``m = acc < b`` / ``acc = where(m, b*c, acc)`` — neither pairable
+    into an FMA nor foldable.  Measures the class-B anchor for the
+    class-resolved roofline (verdict r5 item 2)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_sc[:] = x_ref[:]
+        b_sc[:] = x_ref[:] * np.float32(0.9999)
+
+    acc = acc_sc[:]
+    b = b_sc[:]
+    for _ in range(K_OPS // 2):
+        m = acc < b                    # 1 counted slot (compare)
+        acc = jnp.where(m, b, acc)     # 1 counted slot (select)
+    acc_sc[:] = acc
+    b_sc[:] = b
+
+    @pl.when(pl.program_id(0) == GRID - 1)
+    def _():
+        o_ref[:] = acc_sc[:8, :128]
+
+
+def kernel_roll(x_ref, o_ref, acc_sc, b_sc):
+    """Dependent lane-roll chain: measures the cross-lane permute rate
+    (the fused kernel's gather/scan machinery is roll-heavy; if the
+    permute network streams slower than ALU slots, rolls need their own
+    roofline class)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_sc[:] = x_ref[:]
+
+    acc = acc_sc[:]
+    for i in range(K_OPS):
+        acc = pltpu.roll(acc, 1 + (i & 3), axis=1)
+    acc_sc[:] = acc
+
+    @pl.when(pl.program_id(0) == GRID - 1)
+    def _():
+        o_ref[:] = acc_sc[:8, :128]
+
+
 def main():
     print("devices:", jax.devices())
     x = jnp.asarray(
@@ -203,6 +246,55 @@ def main():
           f"counted el-ops")
     print(f"PEAK counted-slot rate (FMA-paired): {rate_f:.4e} el-ops/s")
     print(f"transcendental weight vs peak = {rate_f / rate_e:.2f}")
+
+    call_s = pl.pallas_call(
+        kernel_select,
+        grid=(GRID,),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R, L), jnp.float32),
+                        pltpu.VMEM((R, L), jnp.float32)],
+    )
+    fn_s = jax.jit(call_s)
+    np.asarray(fn_s(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(fn_s(x)).sum())
+        times.append(time.perf_counter() - t0)
+    ts = sorted(times)[len(times) // 2]
+    assert ts > 0.025, f"implausible timing {times}"
+    sel_ops = K_OPS * GRID * R * L
+    rate_s = sel_ops / ts
+    print(f"select chain: wall {ts*1e3:.2f} ms for {sel_ops/1e9:.1f} G "
+          f"counted el-ops")
+    print(f"measured compare+select rate: {rate_s:.4e} el-ops/s")
+
+    grid_r = GRID // 4
+    call_r = pl.pallas_call(
+        kernel_roll,
+        grid=(grid_r,),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R, L), jnp.float32),
+                        pltpu.VMEM((R, L), jnp.float32)],
+    )
+    fn_r = jax.jit(call_r)
+    np.asarray(fn_r(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(fn_r(x)).sum())
+        times.append(time.perf_counter() - t0)
+    tr = sorted(times)[len(times) // 2]
+    assert tr > 0.025, f"implausible timing {times}"
+    roll_ops = K_OPS * grid_r * R * L
+    rate_r = roll_ops / tr
+    print(f"roll chain: wall {tr*1e3:.2f} ms for {roll_ops/1e9:.1f} G "
+          f"counted el-ops")
+    print(f"measured lane-roll rate: {rate_r:.4e} el-ops/s")
 
 
 if __name__ == "__main__":
