@@ -1120,7 +1120,7 @@ _call_prims = ("pjit", "closed_call", "core_call", "custom_jvp_call",
 
 def build_fused_step(model, de, spec, interpret=None, K=1,
                      mig_in_kernel=False, emit="all", hist_S=None,
-                     hist_stream=False):
+                     hist_stream=False, phase="all"):
     """Returns ``kernel_call(theta3 [d,R,Cf], weight3 [R,Cf], key2 [2]
     uint32, it scalar, fire [1,1] int32) -> (theta_traj [K,d,R,Cf],
     w_traj [K,R,Cf], accept [K,R,Cf] bool, fire_out [1,1])`` — ``K``
@@ -1185,6 +1185,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     """
     if interpret is None:
         interpret = _mode() == "interpret"
+    post = phase == "post"
     G, Np, d = de.n_groups, de.Np, spec.dim
     C = G * Np
     R = _R
@@ -1891,7 +1892,34 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
         def _sweep_tail(theta, w, bkeep, pm, pn, sn_partners=None,
                         member=None, mut_gate=None):
-            if is_random_gamma:
+            if is_random_gamma and post:
+                # POST-BURNIN kernel variant (phase='post'): γ₂ is
+                # EXACTLY 0 once it > burnin (crossover.jl:164), so the
+                # whole predicated softmax/base-select region is
+                # statically absent — measured 0.29 µs/iter cheaper
+                # than the region's untaken pl.when form on the 4k
+                # Gaussian (NOTES.md r5).  The u_b/g2 draws are still
+                # CONSUMED (identical stream positions = bitwise
+                # equality with the full kernel at it > burnin) and
+                # anchored into the dead bterm scratch so DCE cannot
+                # elide the hardware-PRNG advances (prng_random_bits
+                # carries no effect annotation).
+                u_b = uni(1)
+                g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
+                g2 = uni(1) * np.float32(0.5) + np.float32(0.5)
+                # bterm is exactly 0 here, but it must still flow
+                # through the SAME instruction shape as the full kernel
+                # (a folded-away "+ 0" changes FMA fusion → 1-ulp
+                # drift, observed in A/B), and the dead u_b/g2 draws
+                # must stay live (DCE would desync the hardware-PRNG
+                # stream): a value-opaque select produces the zeros
+                # FROM the dead draws.
+                alive = (u_b < np.float32(2.0)) & (g2 < np.float32(2.0))
+                bterm_sc[:] = jnp.broadcast_to(
+                    jnp.where(alive, np.float32(0.0), np.float32(1.0)),
+                    (d, R, Cf))
+                prop = theta + g1 * (pm - pn) + bterm_sc[:]
+            elif is_random_gamma:
                 u_b = uni(1)
                 g1 = uni(1) * np.float32(0.5) + np.float32(0.5)
                 g2 = uni(1) * np.float32(0.5) + np.float32(0.5)

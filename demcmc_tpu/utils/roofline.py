@@ -26,6 +26,15 @@ measured``.  Loops inside the kernel (`while`) cannot be statically
 counted — configurations containing them return ``None`` for the VPU
 part rather than a wrong number (the bench configurations use the
 unrolled sort network, which counts exactly).
+
+Two bias directions to keep in mind when reading pct_of_floor:
+* the floor prices the TRACED program — Mosaic's CSE/strength
+  reduction can legitimately emit fewer ops, so heavily-foldable
+  densities (LBA's 100-obs replay) can run ABOVE 1.0;
+* the per-element permute rate understates thin-roll latency
+  (~100 ns/op), so roll-latency-bound kernels (the 4k Gaussian) sit
+  visibly BELOW 1.0 even at the hardware's pace (NOTES.md r5
+  breakdown).
 """
 
 from __future__ import annotations
@@ -170,10 +179,17 @@ def fused_floor(model, de, spec, K=None) -> dict | None:
         import dataclasses
         de = dataclasses.replace(de, alpha=0.0)
         alpha = 0.0
+    # price the STEADY-STATE program: random_gamma configs run all
+    # post-burnin iterations on the phase='post' kernel (the predicated
+    # burnin region statically absent — sample() switches at the
+    # boundary), so that is the program whose floor matters
+    from ..ops import proposals as _props
+    phase = ("post" if de.burnin > 0 and de.generate_proposal in
+             (_props.random_gamma, "random_gamma") else "all")
     try:
         kern = fused_mod.build_fused_step(model, de, spec, K=K,
                                           mig_in_kernel=False,
-                                          interpret=False)
+                                          interpret=False, phase=phase)
     except Exception:
         return None
     import jax.numpy as jnp

@@ -268,6 +268,26 @@ def test_resample_superstep_and_thin_bitwise(interpret, monkeypatch):
                                   np.asarray(ys1.accept[2:15:3]))
 
 
+def test_post_burnin_split_bitwise(interpret, monkeypatch):
+    """The post-burnin kernel variant (predicated γ₂-burnin region
+    statically dropped; run_scan switches at the boundary) is BITWISE
+    identical to running the full kernel throughout — the dead u_b/g2
+    draws keep the stream aligned (r5)."""
+    model, de = _make(n_groups=8, burnin=37, discard_burnin=False,
+                      theta_snooker=0.1)
+    full = sample(model, de, 90, key=4)
+    monkeypatch.setenv("DEMCMC_POST_SPLIT", "0")
+    model2, de2 = _make(n_groups=8, burnin=37, discard_burnin=False,
+                        theta_snooker=0.1)
+    ref = sample(model2, de2, 90, key=4)
+    np.testing.assert_array_equal(full.data, ref.data)
+    # resume AFTER burnin starts directly on the post kernel
+    monkeypatch.delenv("DEMCMC_POST_SPLIT")
+    _, st = sample(model, de, 60, key=4, return_state=True)
+    tail = sample(model, de, 30, key=4, state=st)
+    np.testing.assert_array_equal(ref.data[-30:], tail.data)
+
+
 def test_resample_stream_bitwise_vs_vmem(interpret, monkeypatch):
     """The HBM-streaming history engine (XLA pre-gather + VMEM write
     window; verdict r4 item 1) is BITWISE identical to the in-VMEM
