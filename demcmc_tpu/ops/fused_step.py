@@ -86,6 +86,29 @@ _R = 8          # f32 sublane count: chains pack as [_R, C // _R]
 # own matrix-vs-argsort cutoff in HBM.
 MIG_MAX_G = 512
 
+# largest G that migrates IN-kernel: past it the sorted machinery's
+# presence costs ~27 µs/step even on UNFIRED iterations (a kernel-size
+# cliff measured at G=8192 on v5e, 2026-08-20 — invariant to geometry:
+# barrel/gemm compress, loop-rolled vs batched chains all land ~the
+# same; at G ≤ 4096 the same code costs < 1 µs unfired.  See NOTES.md
+# round-5).  Above the cutoff, α > 0 runs keep the K-superstep through
+# the COALESCED XLA exchange instead (mig_multi window replay — the
+# sharded path's law-exact mechanism, sampler.py).
+MIG_IK_MAX_G = 4096
+
+
+# ...except at high α, where the in-kernel form's cheaper fired events
+# win the unfired penalty back: at G=8192 (v5e) in-kernel runs α=0.1 at
+# 73.8 µs/step vs coalesced 80.2, while at α=0.001 coalesced wins 22.7
+# vs 46 — measured crossover ≈ 0.08 (α is static, so the builder picks)
+MIG_IK_MIN_ALPHA = 0.08
+
+
+def mig_ik_max_g() -> int:
+    """In-kernel migration size cutoff; ``DEMCMC_MIG_IK_MAX_G``
+    overrides (A/B knob for the kernel-size cliff)."""
+    return int(os.environ.get("DEMCMC_MIG_IK_MAX_G", MIG_IK_MAX_G))
+
 # iterations per kernel launch on the superstep path (build_fused_step K):
 # per-iteration cost is launch-overhead bound, so one launch runs K
 # iterations with the population carried in VMEM scratch.  Bitwise
@@ -631,6 +654,18 @@ def _gr_pow2(G) -> bool:
 # sort at G=4096 spent ~33 µs/step amortized in the rolls alone.)
 COMPACT_MIN_GR = 128
 
+def _compress_mats(Np):
+    """One-hot matrices for the MXU compress/widen (gemm geometry):
+    ``Pt [128, 128·Np]`` with ``Pt[l, c] = (c == l·Np)`` contracts a
+    ``128·Np``-lane population slice down to its 128 leader lanes
+    (NT gemm, the verified-exact orientation), and ``Pw = Ptᵀ`` spreads
+    128 compact lanes back to the leader positions of a ``128·Np``-lane
+    slice."""
+    K = 128 * Np
+    Pt = np.zeros((128, K), np.float32)
+    Pt[np.arange(128), np.arange(128) * Np] = 1.0
+    return Pt, np.ascontiguousarray(Pt.T)
+
 
 def _spread_word(Gr, Np, Cf):
     """Packed per-stage destination masks for the injective lane
@@ -853,7 +888,7 @@ def _rank_cycle(ku, payloads, kidx, laneI, *, G, Gr_e, Np_e, na_f, dt):
 
 
 def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
-                      spread=None):
+                      spread=None, gemm=None):
     """The reference migration (``src/migration.jl:11-91``) as an
     O(G log² G) bitonic rank network — the any-scale replacement for
     :func:`_mig_apply`, whose [G, G] one-hot rank/route matrices grow
@@ -873,17 +908,30 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
     transport (matching the one-hot variant's behavior; ±inf/NaN are
     unaffected).
 
-    Two geometries (identical permutation, bitexact):
+    Three geometries (identical permutation; strided/compact-barrel are
+    bitexact, compact-gemm differs only in that finite ``-0.0`` weights
+    canonicalize — see below):
 
-    * strided (``spread=None``): elements are the Np-lane group blocks
-      themselves, keys leader-broadcast so blocks move as units — no
-      layout changes, but every exchange rolls full-width arrays;
-    * compact (``spread=(T, word)``, requires ``Gr % 128 == 0``):
-      leader values barrel-compress (destination-indexed shifts with
-      the linear shift ``s(b) = b·(Np−1)`` — iota masks) into sliced
-      ``[8, Gr]`` arrays, the sorts run there at Np× fewer roll-vregs
-      per stage, and results widen back by lane-concat + the
-      :func:`_spread_word` scatter, then a leader broadcast."""
+    * strided (``spread=None, gemm=None``): elements are the Np-lane
+      group blocks themselves, keys leader-broadcast so blocks move as
+      units — no layout changes, but every exchange rolls full-width
+      arrays;
+    * compact-barrel (``spread=(T, word)``): leader values
+      barrel-compress (destination-indexed shifts with the linear shift
+      ``s(b) = b·(Np−1)`` — iota masks) into sliced ``[8, Gr]`` arrays,
+      the sorts run there at Np× fewer roll-vregs per stage, and
+      results widen back by lane-concat + the :func:`_spread_word`
+      scatter, then a leader broadcast;
+    * compact-gemm (``gemm=(Pt, Pw)``, requires ``Gr % 128 == 0``):
+      the compress/widen run as exact one-hot NT gemms on the MXU
+      (:func:`_compress_mats`) — ~16 dot ops instead of ~28 full-width
+      roll/select stages, which at G >= 8192 is the difference between
+      a ~21 µs/step UNFIRED instruction-footprint penalty and ~none
+      (measured, validation/mig8192_bisect.py).  ±inf weights ride 0/1
+      flag columns through the gemms (0·inf would be NaN); transported
+      values are otherwise exact (one-hot × value at HIGHEST), with
+      ``-0.0 → +0.0`` canonicalization — which the additive ``vict``
+      transport already applies to every payload on all geometries."""
     d, R, Cf = theta.shape
     dt = theta.dtype
 
@@ -903,34 +951,71 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
         z = jnp.where(vmask, q, jnp.zeros_like(q))
         return _seg_last_bcast(_seg_scan(z, p, Np, jnp.add), p, Np)
 
-    tv, wv = vict(theta), vict(w)           # [d, R, Cf] / [R, Cf]
+    # every transported quantity rides ONE stacked [d+1, R, Cf] array
+    # through the seg/compress/sort/widen chains: N quantities cost one
+    # batched op chain instead of N — the region's unrolled full-width
+    # stages are the dominant UNFIRED cost at big G (instruction fetch
+    # for the branched-over body, NOTES.md "instruction-footprint
+    # cliff"), so fewer/larger ops cut both code size and fired work
+    twv = vict(jnp.concatenate([theta, w[None]], axis=0))
 
-    if spread is None:
+    if spread is None and gemm is None:
         # group sort key: the leader lane's uniform, broadcast so whole
         # blocks carry consistent keys (exchanges decide per-lane)
         ku = _seg_leader_bcast(u_row, p, Np)
         kidx = rowI * Gr + laneI // Np
-        t_b, w_b = _rank_cycle(ku, [tv, wv], kidx, laneI, G=G, Gr_e=Gr,
+        (r_all,) = _rank_cycle(ku, [twv], kidx, laneI, G=G, Gr_e=Gr,
                                Np_e=Np, na_f=na_f, dt=dt)
+        t_b, w_b = r_all[:d], r_all[d]
     else:
-        T_sp, word = spread
-        # barrel-compress leader lanes: out[..., b] = x[..., b·Np] — the
-        # destination-indexed shift s(b) = b·(Np−1) is linear, so the
-        # LSB→MSB stage masks are exact iota expressions
-        s_lane = laneI * (Np - 1)
-        smax = (Gr - 1) * (Np - 1)
+        inf32 = np.float32(np.inf)
+        if gemm is not None:
+            # MXU compress: one exact one-hot NT gemm per 128·Np-lane
+            # slice.  ±inf weights cannot ride a gemm (0·inf = NaN), so
+            # w splits into a finite part + 0/1 flag columns; payload
+            # rows through the sort become [theta(d), wf, neg, pos].
+            Pt, Pw = gemm
+            HIGH = jax.lax.Precision.HIGHEST
+            KK = 128 * Np
+            Q = Gr // 128
+            wv = twv[d]
+            neg = (wv == -inf32).astype(dt)
+            pos = (wv == inf32).astype(dt)
+            wf = jnp.where((neg + pos) > np.float32(0.5),
+                           jnp.zeros_like(wv), wv)
+            pack = jnp.concatenate(
+                [twv[:d], wf[None], neg[None], pos[None], u_row[None]],
+                axis=0)
+            flat = pack.reshape((d + 4) * R, Cf)
+            cc = jnp.concatenate(
+                [jax.lax.dot_general(flat[:, q * KK:(q + 1) * KK], Pt,
+                                     (((1,), (1,)), ((), ())),
+                                     precision=HIGH)
+                 for q in range(Q)], axis=1).reshape(d + 4, R, Gr)
+            ku_c = cc[d + 3]             # [R, Gr] sort key
+            twv_c = cc[:d + 3]           # [d+3, R, Gr] payloads
+            n_pay = d + 3
+        else:
+            T_sp, word = spread
+            # barrel-compress leader lanes: out[..., b] = x[..., b·Np] —
+            # the destination-indexed shift s(b) = b·(Np−1) is linear,
+            # so the LSB→MSB stage masks are exact iota expressions
+            s_lane = laneI * (Np - 1)
+            smax = (Gr - 1) * (Np - 1)
 
-        def compress(x):
-            y = x
-            t = 0
-            while (1 << t) <= smax:
-                take = (s_lane // (1 << t)) % 2
-                y = jnp.where(take == 1, _roll(y, -(1 << t)), y)
-                t += 1
-            return y[..., :Gr]
+            def compress(x):
+                y = x
+                t = 0
+                while (1 << t) <= smax:
+                    take = (s_lane // (1 << t)) % 2
+                    y = jnp.where(take == 1, _roll(y, -(1 << t)), y)
+                    t += 1
+                return y[..., :Gr]
 
-        ku_c = compress(u_row)
-        tv_c, wv_c = compress(tv), compress(wv)
+            pc = compress(jnp.concatenate([twv, u_row[None]], axis=0))
+            ku_c = pc[d + 1]             # [R, Gr] sort key
+            twv_c = pc[:d + 1]           # [d+1, R, Gr] victim payloads
+            n_pay = d + 1
         # non-power-of-two Gr: pad the compact arrays to the next
         # power-of-two lattice with +inf-keyed VIRTUAL elements — they
         # sort past every real group (uniform keys < 1 < inf), the cycle
@@ -950,35 +1035,53 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
                 x.shape[:-1] + (Gr2,))
 
         ku_c = lane_pad(ku_c, np.float32(np.inf))
-        tv_c, wv_c = lane_pad(tv_c, 0.0), lane_pad(wv_c, 0.0)
+        twv_c = lane_pad(twv_c, 0.0)
         rowC = jax.lax.broadcasted_iota(jnp.int32, (R, Gr2), 0)
         laneC = jax.lax.broadcasted_iota(jnp.int32, (R, Gr2), 1)
         kidx_c = rowC * Gr2 + laneC
-        t_r, w_r = _rank_cycle(ku_c, [tv_c, wv_c], kidx_c, laneC,
-                               G=_R * Gr2, Gr_e=Gr2, Np_e=1, na_f=na_f,
-                               dt=dt)
+        (r_c,) = _rank_cycle(ku_c, [twv_c], kidx_c, laneC,
+                             G=_R * Gr2, Gr_e=Gr2, Np_e=1, na_f=na_f,
+                             dt=dt)
         if Gr2 != Gr:
-            t_r, w_r = t_r[..., :Gr], w_r[..., :Gr]
+            r_c = r_c[..., :Gr]
 
-        def widen(v_c):
-            flat = v_c.reshape(-1, Gr)       # leading-collapse: 2-D concat
+        if gemm is not None:
+            # MXU widen: compact lanes back to the leader positions of
+            # each 128·Np-lane slice (non-leaders get exact 0), then a
+            # leader broadcast; ±inf weights reassemble from the flags
+            flatc = r_c.reshape(n_pay * R, Gr)
             wide = jnp.concatenate(
-                [flat, jnp.zeros((flat.shape[0], Cf - Gr), v_c.dtype)],
-                axis=1).reshape(v_c.shape[:-1] + (Cf,))
-            y = wide
-            for t in range(T_sp - 1, -1, -1):
-                take = (word // (1 << t)) % 2
-                y = jnp.where(take == 1, _roll(y, 1 << t), y)
-            return _seg_leader_bcast(y, p, Np)
+                [jax.lax.dot_general(flatc[:, q * 128:(q + 1) * 128],
+                                     Pw, (((1,), (1,)), ((), ())),
+                                     precision=HIGH)
+                 for q in range(Q)], axis=1).reshape(n_pay, R, Cf)
+            wide = _seg_leader_bcast(wide, p, Np)
+            t_b = wide[:d]
+            w_b = jnp.where(wide[d + 1] > np.float32(0.5), -inf32,
+                            jnp.where(wide[d + 2] > np.float32(0.5),
+                                      inf32, wide[d]))
+        else:
+            def widen(v_c):
+                flat = v_c.reshape(-1, Gr)   # leading-collapse: 2-D concat
+                y = jnp.concatenate(
+                    [flat,
+                     jnp.zeros((flat.shape[0], Cf - Gr), v_c.dtype)],
+                    axis=1).reshape(v_c.shape[:-1] + (Cf,))
+                for t in range(T_sp - 1, -1, -1):
+                    take = (word // (1 << t)) % 2
+                    y = jnp.where(take == 1, _roll(y, 1 << t), y)
+                return _seg_leader_bcast(y, p, Np)
 
-        t_b, w_b = widen(t_r), widen(w_r)
+            r_w = widen(r_c)                 # [d+1, R, Cf], one chain
+            t_b, w_b = r_w[:d], r_w[d]
 
     new_theta = [jnp.where(vmask, t_b[i], theta[i]) for i in range(d)]
     new_w = jnp.where(vmask, w_b, w)
     return new_theta, new_w
 
 
-def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
+def build_migration_kernel(G, Np, d, interpret=True, variant="onehot",
+                           force_barrel=False):
     """Standalone kernel around :func:`_mig_apply` for exactness tests
     (interpret mode on CPU; real lowering for the on-chip bitexactness
     check).  Inputs are the raw migration draws, so a numpy oracle can
@@ -990,7 +1093,9 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
 
     ``variant``: ``"onehot"`` = the [G, G] matrix formulation
     (:func:`_mig_apply`), ``"sorted"`` = the bitonic rank network
-    (:func:`_mig_apply_sorted`).  Same permutation, bitexact.
+    (:func:`_mig_apply_sorted`).  Same permutation.
+    ``force_barrel`` pins the compact-barrel geometry where the gemm
+    one would be chosen (for A/B exactness tests).
     """
     if variant == "sorted" and not mig_sorted_ok(G, Np):
         raise ValueError(f"sorted migration needs G a multiple of 8; "
@@ -1003,8 +1108,12 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
     dt = jnp.float32
     extra = []
     sp_T = None
-    if variant == "sorted" and (Gr % COMPACT_MIN_GR == 0
-                                or Gr & (Gr - 1)):
+    use_gemm = (variant == "sorted" and Gr % COMPACT_MIN_GR == 0
+                and not force_barrel)
+    if use_gemm:
+        extra = list(_compress_mats(Np))
+    elif variant == "sorted" and (Gr % COMPACT_MIN_GR == 0
+                                  or Gr & (Gr - 1)):
         # compact geometry: wide power-of-two layouts (perf) and EVERY
         # non-power-of-two Gr (the padded lattice only exists there)
         sp_T, word_np = _spread_word(Gr, Np, Cf)
@@ -1012,7 +1121,7 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
 
     def kernel(t_ref, w_ref, u_ref, na_ref, g_ref, *rest):
         if extra:
-            word_ref, out_t, out_w = rest
+            ex_refs, (out_t, out_w) = rest[:len(extra)], rest[len(extra):]
         else:
             out_t, out_w = rest
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, Cf), 1)
@@ -1021,10 +1130,15 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
             nt, nw = _mig_apply(t_ref[:], w_ref[:], u_ref[:], na_ref[:],
                                 g_ref[:], p, G=G, Np=Np, Gr=Gr)
         else:
-            sp = (sp_T, word_ref[:]) if extra else None
+            sp = gm = None
+            if use_gemm:
+                gm = (ex_refs[0][:], ex_refs[1][:])
+            elif extra:
+                sp = (sp_T, ex_refs[0][:])
             nt, nw = _mig_apply_sorted(t_ref[:], w_ref[:], u_ref[:],
                                        na_ref[:], g_ref[:], p, G=G,
-                                       Np=Np, Gr=Gr, spread=sp)
+                                       Np=Np, Gr=Gr, spread=sp,
+                                       gemm=gm)
         for i in range(d):
             out_t[i] = nt[i]
         out_w[:] = nw
@@ -1040,8 +1154,8 @@ def build_migration_kernel(G, Np, d, interpret=True, variant="onehot"):
             vmem_limit_bytes=64 * 1024 * 1024))
     if not extra:
         return call
-    return lambda t3, w3, u, na, gum: call(t3, w3, u, na, gum,
-                                           jnp.asarray(extra[0]))
+    consts = [jnp.asarray(e) for e in extra]
+    return lambda t3, w3, u, na, gum: call(t3, w3, u, na, gum, *consts)
 
 
 # ---------------------------------------------------------------------------
@@ -1619,14 +1733,19 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
     n_scratch = 4 if is_random_gamma else 3
 
-    # compact-sort widening masks for the sorted migration variant
-    # (numpy-simulated at build time, shipped as one packed-int32 input)
-    mig_spread_T = mig_word_idx = None
-    if (mig_in_kernel and mig_variant == "sorted"
-            and (Gr % COMPACT_MIN_GR == 0 or Gr & (Gr - 1))):
-        mig_spread_T, _word_np = _spread_word(Gr, Np, Cf)
-        mig_word_idx = len(ship)
-        ship.append(_word_np)
+    # compact-sort compress/widen constants for the sorted migration
+    # variant, shipped as kernel inputs: one-hot gemm matrices where
+    # Gr % 128 == 0 (MXU geometry — tiny code footprint), else the
+    # packed widening-scatter masks (numpy-simulated at build time)
+    mig_spread_T = mig_word_idx = mig_gemm_idx = None
+    if mig_in_kernel and mig_variant == "sorted":
+        if Gr % COMPACT_MIN_GR == 0:
+            mig_gemm_idx = len(ship)
+            ship.extend(_compress_mats(Np))
+        elif Gr & (Gr - 1):
+            mig_spread_T, _word_np = _spread_word(Gr, Np, Cf)
+            mig_word_idx = len(ship)
+            ship.append(_word_np)
 
     def kernel(it_ref, key_ref, fire_in_ref, *refs):
         if resample:
@@ -1791,9 +1910,12 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 else:
                     sp = (None if mig_word_idx is None else
                           (mig_spread_T, ship_vals[mig_word_idx]))
+                    gm = (None if mig_gemm_idx is None else
+                          (ship_vals[mig_gemm_idx],
+                           ship_vals[mig_gemm_idx + 1]))
                     nt, nw = _mig_apply_sorted(
                         theta_sc[:], w_sc[:], u_row, na_f, gum, p,
-                        G=G, Np=Np, Gr=Gr, spread=sp)
+                        G=G, Np=Np, Gr=Gr, spread=sp, gemm=gm)
                 for i in range(d):
                     theta_sc[i] = nt[i]
                 w_sc[:] = nw

@@ -267,9 +267,18 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     # for small-G MH/max layouts.  In-kernel migration is what lets
     # α > 0 runs keep the K-superstep (the gate is data-dependent
     # between iterations).
-    mig_ik = (mesh is None and 0.0 < alpha and 2 <= G
-              and (fused_mod.mig_sorted_ok(G, Np)
-                   or (G <= fused_mod.MIG_MAX_G and not de.is_minimize)))
+    mig_ik_ok = (mesh is None and 0.0 < alpha and 2 <= G
+                 and (fused_mod.mig_sorted_ok(G, Np)
+                      or (G <= fused_mod.MIG_MAX_G
+                          and not de.is_minimize)))
+    # past MIG_IK_MAX_G the in-kernel machinery costs ~27 µs/step even
+    # unfired (kernel-size cliff, see the constant's comment); those
+    # layouts keep the superstep through the single-device COALESCED
+    # XLA exchange below instead — unless α is high enough that the
+    # in-kernel form's cheaper fired events win the penalty back
+    # (measured crossover MIG_IK_MIN_ALPHA; α is static)
+    mig_ik = mig_ik_ok and (G <= fused_mod.mig_ik_max_g()
+                            or alpha >= fused_mod.MIG_IK_MIN_ALPHA)
 
     def _mk(K, mig_in_kernel, emit="all"):
         if mesh is None:
@@ -390,8 +399,11 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     # window boundaries — this is what lets sharded α > 0 runs keep the
     # K-superstep and device-thin (VERDICT r3 item 4); the branchless
     # experiment keeps per-iteration exchanges and forfeits both
-    coalesce = (mesh is not None and alpha > 0.0 and not mig_ik
-                and not branchless)
+    # single-device runs coalesce too when the layout is in-kernel-
+    # eligible but sits above the MIG_IK_MAX_G kernel-size cliff
+    # (smaller/odd layouts keep the bitwise per-iteration cond path)
+    coalesce = (alpha > 0.0 and not mig_ik and not branchless
+                and (mesh is not None or mig_ik_ok))
 
     def _call(kern, state):
         it = state.iteration

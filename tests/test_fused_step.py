@@ -558,10 +558,10 @@ def test_sorted_migration_matches_oracle(interpret, seed, G, Np):
     as the one-hot variant — including ±inf weights (select-only
     transport carries any bit pattern; +inf covers min-mode
     optimization scores) and non-power-of-two Np.  G=1024/Np=4 and
-    G=2048/Np=16 take the compact (barrel-compress + sliced-sort +
-    scatter-widen) geometry with the UNROLLED network, G=4096/Np=3 the
-    compact geometry with the LOOP-ROLLED network (dynamic rotates —
-    the production path for the 65k-chain configs), the others the
+    G=2048/Np=16 take the compact geometry (gemm compress/widen since
+    round 5) with the UNROLLED network, G=4096/Np=3 the compact
+    geometry with the LOOP-ROLLED network (dynamic rotates — the
+    production path for the 65k-chain configs), the others the
     strided one.  G ∈ {24, 192, 320} have NON-power-of-two Gr = G//8
     (3, 24, 40): the compact lattice pads to the next power of two with
     +inf-keyed virtual elements (universal in-kernel migration, round
@@ -582,6 +582,71 @@ def test_sorted_migration_matches_oracle(interpret, seed, G, Np):
     want_t, want_w = _np_migration_oracle(theta, w, u, n_act, gum)
     np.testing.assert_array_equal(got_t, want_t)
     np.testing.assert_array_equal(got_w, want_w)
+
+
+def test_sorted_gemm_matches_barrel_geometry(interpret):
+    """Where Gr % 128 == 0 the compact compress/widen run as exact
+    one-hot MXU gemms (the round-5 default — ±inf weights ride 0/1
+    flag columns through the dots); results must be IDENTICAL to the
+    barrel-shift geometry (``force_barrel=True``).  (1024, 4) is the
+    plain power-of-two case, (3072, 3) composes the gemm with the
+    padded non-power-of-two lattice (Gr=384)."""
+    rng_ = np.random.default_rng(11)
+    for G, Np in [(1024, 4), (3072, 3)]:
+        d, R = 3, 8
+        C = G * Np
+        Cf = C // R
+        t3 = rng_.standard_normal((d, R, Cf)).astype(np.float32)
+        w = rng_.standard_normal((R, Cf)).astype(np.float32)
+        w.flat[rng_.choice(w.size, 20, replace=False)] = -np.inf
+        w.flat[rng_.choice(w.size, 10, replace=False)] = np.inf
+        u = rng_.random((R, Cf)).astype(np.float32)
+        na = np.array([[5.0]], np.float32)
+        gum = rng_.gumbel(size=(R, Cf)).astype(np.float32)
+        args = (t3, w, u, na, gum)
+        k_gemm = fused_step.build_migration_kernel(
+            G, Np, d, interpret=True, variant="sorted")
+        k_barrel = fused_step.build_migration_kernel(
+            G, Np, d, interpret=True, variant="sorted", force_barrel=True)
+        nt1, nw1 = jax.jit(k_gemm)(*args)
+        nt2, nw2 = jax.jit(k_barrel)(*args)
+        np.testing.assert_array_equal(np.asarray(nt1), np.asarray(nt2))
+        np.testing.assert_array_equal(np.asarray(nw1), np.asarray(nw2))
+        assert not np.array_equal(np.asarray(nt1), t3)   # moved
+
+
+def test_mig_ik_size_cutoff_routes_coalesced(interpret, monkeypatch):
+    """Above ``MIG_IK_MAX_G`` (the measured kernel-size cliff, G=8192
+    on v5e) single-device α > 0 configs route migration through the
+    COALESCED XLA exchange — keeping the K-superstep — while
+    α >= MIG_IK_MIN_ALPHA stays in-kernel (cheaper fired events win the
+    unfired penalty back; α is static).  Exercised at a small patched
+    cutoff; the coalesced run must also sample correctly."""
+    monkeypatch.setenv("DEMCMC_MIG_IK_MAX_G", "8")
+    recorded = []
+    orig = fused_step.build_fused_step
+
+    def rec(model, de, spec, **kw):
+        recorded.append(kw.get("mig_in_kernel"))
+        return orig(model, de, spec, **kw)
+
+    monkeypatch.setattr(fused_step, "build_fused_step", rec)
+
+    # low α, G=32 > patched cutoff: coalesced (mig_in_kernel=False)
+    model, de = _make(alpha=0.01, burnin=100)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    assert recorded and recorded[0] is False
+    assert step.get_superstep() is not None          # superstep kept
+    c = sample(model, de, 300, key=3)
+    assert np.all(np.isfinite(c.data))
+
+    # high α: in-kernel wins the crossover despite G > cutoff
+    recorded.clear()
+    model2, de2 = _make(alpha=0.2, burnin=100)
+    build_step(model2, de2, make_spec(model2, de2))
+    assert recorded and recorded[0] is True
 
 
 def test_mig_variants_bitwise_equal_end_to_end(interpret, monkeypatch):
