@@ -208,6 +208,24 @@ def main():
     mvn_res_rate_100k = bench_model(model_r, de_r, n_iter=100000)
     mvn_res_iters_100k = mvn_res_rate_100k / de_r.n_chains
 
+    # WIDE resample (round 5): C=512 DE-MCz + snooker on the multi-vreg
+    # single-row layout (stream engine, one-hot-gemm window gather) —
+    # the reference's resample slot at a population size the fused path
+    # used to reject (C > 128 fell back to the XLA step, ~121 us/iter
+    # on this config vs ~18 fused)
+    model_wr, de_wr = gaussian.make(key=0, n_obs=50, n_groups=128, Np=4,
+                                    alpha=0.0, sample="resample",
+                                    n_initial=50, burnin=1000,
+                                    theta_snooker=0.1, sweep="sync")
+    wide_res_rate = bench_model(model_wr, de_wr, n_iter=20000)
+
+    # 131k chains at G=8192 with sparse migration (alpha=0.001): the
+    # round-5 coalesced XLA fallback past the in-kernel kernel-size
+    # cliff — used to run ~62 us/step, now ~1.1x the alpha=0 floor
+    model_131k, de_131k = gaussian.make(key=0, n_obs=50, n_groups=8192,
+                                        Np=16, burnin=100, alpha=0.001)
+    gauss_131k = bench_model(model_131k, de_131k, n_iter=30000)
+
     # packed replicated fits WITH the reference-default migration
     # (alpha=0.1, replication-local coalesced replay — round 5): 64
     # Gaussian fits (Np=4, G=4) as one 1024-chain fused population
@@ -322,6 +340,11 @@ def main():
         # same config at 100k iterations: the HBM-streaming history
         # engine (round 5) — this run used to fall back to the XLA step
         "mvn_resample_100k_iters_per_s": round(mvn_res_iters_100k, 1),
+        # C=512 DE-MCz + snooker on the WIDE resample layout (round 5)
+        "resample_wide_c512_chain_steps_per_s": round(wide_res_rate, 1),
+        # G=8192 sparse migration via the coalesced fallback (round 5)
+        "gaussian_131072_chains_alpha001_steps_per_s":
+            round(gauss_131k, 1),
         # 64 packed replications with reference-default migration
         # alpha=0.1 (replication-local coalesced replay, round 5)
         "packed_replicated_alpha01_chain_steps_per_s":

@@ -222,8 +222,18 @@ def supported(model, de, spec) -> bool:
 # as packed slab·128+lane int32 scalars, so the in-kernel gather is a
 # dynamic slab load + one-hot lane reduction per (chain, slot).
 
-RESAMPLE_CF = 128          # padded lane width (population and history)
-RESAMPLE_MAX_C = 128       # real chains must fit one sublane row
+RESAMPLE_CF = 128          # lane-width granule (population and history)
+RESAMPLE_MAX_C = 128       # narrow layout: chains fit one 128-lane row
+# WIDE resample layout (round 5): C in (128, 1024] keeps all chains in
+# sublane row 0 but across Cf = ceil(C/128)·128 lanes; history slabs
+# become one row per slab (B = 1) and the path is STREAM-ONLY — the
+# XLA pre-gather already lands each lane's partner column at its own
+# lane (one [d, Cf] row per (iteration, slot)), so the narrow path's
+# per-chain python gather loop (code size ∝ C) is replaced by direct
+# row reads + an exact one-hot-gemm lane permute for the rare
+# within-launch-window partners.  Ref: src/crossover.jl:103-140 —
+# the reference's resample slot composes at ANY population size.
+RESAMPLE_MAX_C_WIDE = 1024
 RESAMPLE_S_GRAN = 64       # slab-count rounding granule (compile reuse)
 # In-VMEM history engine budget: the flagship MVN config's
 # 50k-iteration history (~19 MB packed) runs; ~37 MB (100k rows)
@@ -248,8 +258,8 @@ RESAMPLE_SMEM_WORDS_MAX = 200_000
 def _resample_supported(de) -> bool:
     """Fused-path gate for resample (DE-MCz) configurations."""
     C = de.n_groups * de.Np
-    if C > RESAMPLE_MAX_C:
-        return False               # all real chains must fit sublane row 0
+    if C > RESAMPLE_MAX_C_WIDE:
+        return False               # past the wide single-row layout: XLA
     if de.n_groups > 1 and float(de.alpha) > 0.0:
         return False               # migration over the padded layout: XLA
     if de.blocks is not None:
@@ -263,9 +273,14 @@ def _resample_supported(de) -> bool:
 
 def resample_layout(de):
     """(C_real, B, Cf) of the padded resample layout: C_real chains in
-    sublane row 0, history slabs of B rows across Cf=128 lanes."""
+    sublane row 0.  Narrow (C <= 128): Cf = 128, history slabs hold
+    B = 128 // C rows side by side.  Wide (C > 128): Cf =
+    ceil(C/128)·128 lanes, one history row per slab (B = 1)."""
     C_real = de.n_groups * de.Np
-    return C_real, RESAMPLE_CF // C_real, RESAMPLE_CF
+    if C_real <= RESAMPLE_CF:
+        return C_real, RESAMPLE_CF // C_real, RESAMPLE_CF
+    Cf = -(-C_real // RESAMPLE_CF) * RESAMPLE_CF
+    return C_real, 1, Cf
 
 
 def resample_hist_slabs(de, H: int) -> int:
@@ -278,9 +293,11 @@ def resample_hist_slabs(de, H: int) -> int:
 
 
 def resample_hist_fits(de, spec, H: int) -> bool:
-    """Does the packed history fit the kernel's VMEM budget?"""
+    """Does the packed history fit the kernel's VMEM budget?  (Narrow
+    layout only — the wide layout is stream-engine-only.)"""
+    _, _, Cf = resample_layout(de)
     S = resample_hist_slabs(de, H)
-    return S * spec.dim * RESAMPLE_CF * 4 <= RESAMPLE_HIST_VMEM
+    return S * spec.dim * Cf * 4 <= RESAMPLE_HIST_VMEM
 
 
 def resample_super_k(de) -> int:
@@ -312,13 +329,18 @@ _super_k_clamp_warned: list = []   # one warning per process (advice r4)
 
 
 def resample_idx_words(de) -> int:
-    """Per-ITERATION partner-index SMEM words on the fused resample
-    path (the flat [K · n_slots · C] launch array divided by K)."""
-    C = de.n_groups * de.Np
+    """Per-ITERATION partner-index words on the fused resample path
+    (the [K · n_slots · lane_width] launch array divided by K).  The
+    narrow layout ships C words per slot through SMEM; the wide layout
+    ships one Cf-lane VMEM row per slot — the same formula still
+    bounds K (conservative: it also caps the write-window slab
+    count)."""
+    C_real, _, Cf = resample_layout(de)
+    lane_w = C_real if C_real <= RESAMPLE_CF else Cf
     n_slots = 2 + (3 if float(de.theta_snooker) > 0.0 else 0)
     if de.sequential_sweep:
         n_slots *= de.Np      # one tuple set per member per iteration
-    return n_slots * C
+    return n_slots * lane_w
 
 
 def _blocking_const(de):
@@ -1313,6 +1335,10 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     if resample:
         C_real, B_hist, Cf = resample_layout(de)
         C = R * Cf                    # padded chain count (layout/draws)
+        wide = C_real > RESAMPLE_CF   # multi-vreg single-row layout
+        if wide and not hist_stream:
+            raise ValueError("C > 128 resample runs the streaming "
+                             "history engine only")
         if hist_S is None:
             raise ValueError("resample kernel needs hist_S (slab count)")
         S_hist = int(hist_S)
@@ -1320,14 +1346,22 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     else:
         C_real, Cf = C, C // R
         S_hist = n_slots = 0
+        wide = False
     n_slots_tot = n_slots * n_members
     if stream:
         # window of slabs this launch writes (rows it0-1 .. it0+K-2)
         W_win = min((K - 1) // B_hist + 2, S_hist)
-        # pre-gather buffer: one lane-packed [d, 128] slab per 128
-        # consecutive flat fetches (static fetch order j = (k·slots_tot
-        # + slot)·C + c — the SAME flat order as the SMEM index array)
-        n_pre = -(-(K * n_slots_tot * C_real) // Cf)
+        if wide:
+            # one [d, Cf] pre row per (iteration, slot): the padded
+            # fetch order j = (k·slots_tot + slot)·Cf + c aligns every
+            # slot's C chains to its own pre row's lanes
+            n_pre = K * n_slots_tot
+        else:
+            # pre-gather buffer: one lane-packed [d, 128] slab per 128
+            # consecutive flat fetches (static fetch order j =
+            # (k·slots_tot + slot)·C + c — the SAME flat order as the
+            # SMEM index array)
+            n_pre = -(-(K * n_slots_tot * C_real) // Cf)
     else:
         W_win = n_pre = 0
     Gr = max(Cf // Np, 1)             # groups per sublane row (G == R·Gr)
@@ -1747,6 +1781,14 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             mig_word_idx = len(ship)
             ship.append(_word_np)
 
+    # wide-resample window gather: identity matrix for the transpose-
+    # free one-hot lane permute (see fetch_hist), shipped once per
+    # launch instead of materialized per fetch
+    res_ident_idx = None
+    if resample and wide:
+        res_ident_idx = len(ship)
+        ship.append(np.eye(Cf, dtype=np.float32))
+
     def kernel(it_ref, key_ref, fire_in_ref, *refs):
         if resample:
             idx_ref, refs = refs[0], refs[1:]     # SMEM flat [K·slots·C]
@@ -1767,6 +1809,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         if resample:
             hist_out_ref, refs = refs[0], refs[1:]
         scratch = refs
+        if wide:
+            wfetch_sc, scratch = scratch[-1], scratch[:-1]
         if stream:
             # the window OUTPUT block (constant index map) is the
             # persistent VMEM store itself — no scratch, no manual DMA
@@ -1947,7 +1991,55 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         if resample:
             lane_h = jax.lax.broadcasted_iota(jnp.int32, (d, Cf), 1)
 
-            def fetch_hist(slot):
+            def fetch_hist_wide(slot):
+                """WIDE-layout partner fetch (C > 128, stream-only):
+                the XLA pre-gather already landed each lane's partner
+                column at its own lane of pre row (k·slots_tot +
+                slot) — a direct [d, Cf] read — so only partners
+                drawn from rows written DURING this launch need the
+                in-kernel gather: the write window lane-permutes by
+                the per-lane partner chain via an exact one-hot NT
+                gemm (Y[l, m] = (ln_l == m), built transpose-free by
+                an identity dot), then a W_win-way per-lane slab
+                select by the window-relative row.  History holds
+                parameter values only (finite by bounds), so no ±inf
+                flag columns are needed."""
+                base = k * n_slots_tot + slot
+                idxv = idx_ref[pl.ds(base, 1)]        # [1, Cf] int32
+                slab = idxv // np.int32(Cf)           # == row (B=1)
+                ln = idxv % np.int32(Cf)
+                prev = pre_ref[pl.ds(base, 1)].reshape(d, Cf)
+                in_win = slab >= it_ref[0] - 1
+                wfetch_sc[:] = prev
+                nwin = jnp.sum(in_win.astype(jnp.int32))
+
+                @pl.when(nwin > 0)
+                def _():
+                    # any in-window partner at all is ~1/it per fetch
+                    # in steady state: the gather runs fired-only
+                    relw = jnp.clip(slab - wb, 0, W_win - 1)
+                    ident = ship_vals[res_ident_idx]  # [Cf, Cf] eye
+                    ln_col = jax.lax.dot_general(     # [Cf, 1]
+                        ident, ln.astype(dt), (((1,), (1,)), ((), ())),
+                        precision=HIGH)
+                    laneF = jax.lax.broadcasted_iota(  # (f32 iota is
+                        jnp.int32, (Cf, Cf), 1).astype(dt)  # no Mosaic op)
+                    Y = (ln_col == laneF).astype(dt)  # [Cf, Cf]
+                    win_flat = hist_sc[:].reshape(W_win * d, Cf)
+                    perm = jax.lax.dot_general(
+                        win_flat, Y, (((1,), (1,)), ((), ())),
+                        precision=HIGH).reshape(W_win, d, Cf)
+                    val = perm[0]
+                    for ws in range(1, W_win):
+                        val = jnp.where(relw == np.int32(ws), perm[ws],
+                                        val)
+                    wfetch_sc[:] = jnp.where(in_win, val, prev)
+
+                buf = jax.lax.broadcast_in_dim(wfetch_sc[:], (d, R, Cf),
+                                               (0, 2))
+                return jnp.where(rowI == 0, buf, jnp.zeros_like(buf))
+
+            def fetch_hist_narrow(slot):
                 """Partner population [d, R, Cf] from the history: each
                 real chain c reads its precomputed (slab, lane) index —
                 ``resample``'s (past-iteration, chain) draw flattened
@@ -1990,6 +2082,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                                                     (0, 2))
                     buf = jnp.where((rowI == 0) & (lane == c), col3, buf)
                 return buf
+
+            fetch_hist = fetch_hist_wide if wide else fetch_hist_narrow
 
             def one_sweep_resample(theta, w, member=None, mut_gate=None):
                 """The resample-mode sub-sweep: DE partners (and the
@@ -2312,7 +2406,9 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     in_specs = ([smem(), smem(), smem()]           # it0, key, fire_in
-                + ([smem()] if resample else [])   # partner indices
+                # partner indices: flat SMEM scalars (narrow) or one
+                # [K·slots, Cf] VMEM row per (iteration, slot) (wide)
+                + ([vfull() if wide else smem()] if resample else [])
                 + ([vfull()] if stream else [])    # pre-gathered rows
                 + ([vfull()] if interpret else [])
                 + [vfull() for _ in ship] + [vfull(), vfull()]
@@ -2360,6 +2456,10 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         # (the stream engine's window lives in its OUTPUT block)
         scratch_shapes.append(pltpu.VMEM((S_hist, d, Cf), dt))
         scratch_shapes.append(pltpu.SemaphoreType.DMA)
+    if wide:
+        # wide fetch staging row: lets the one-hot window gather run
+        # under pl.when(any partner in window) — ~never in steady state
+        scratch_shapes.append(pltpu.VMEM((d, Cf), dt))
     vmem_budget = 64 * 1024 * 1024
     io_aliases = {}
     if resample:
@@ -2423,13 +2523,24 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             lanep = (rows % B_hist) * C_real + chains_
             packed = (slab * Cf + lanep).astype(jnp.int32)
             # member-major slot order (fetch index member·n_slots + s)
-            return jnp.transpose(packed, (1, 0, 2)).reshape(
+            out = jnp.transpose(packed, (1, 0, 2)).reshape(
                 n_slots_tot, C_real)
+            if wide:
+                # pad the chain axis to the Cf-lane rows the VMEM index
+                # input wants (pad lanes fetch row 0/chain 0 — read by
+                # pad lanes only, which are never consumed)
+                out = jnp.concatenate(
+                    [out, jnp.zeros((n_slots_tot, Cf - C_real),
+                                    jnp.int32)], axis=1)
+            return out
 
         its = it32 + jnp.arange(K, dtype=jnp.int32)
+        arr = jax.vmap(one_iter)(its)
+        if wide:
+            return arr.reshape(K * n_slots_tot, Cf)
         # FLAT layout (see fetch_hist): [K·slots·C] — an N-D SMEM array
         # would be tile-padded to (8, 128) minors
-        return jax.vmap(one_iter)(its).reshape(-1)
+        return arr.reshape(-1)
 
     def _resample_pre(idx_flat, hist):
         """XLA pre-gather for the streaming engine: history columns for
@@ -2454,7 +2565,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             idx_flat = _resample_idx(key2, it32)
             extra += (idx_flat,)
             if stream:
-                extra += (_resample_pre(idx_flat, hist),)
+                extra += (_resample_pre(idx_flat.reshape(-1), hist),)
         if interpret:
             key = jax.random.wrap_key_data(key2, impl="threefry2x32")
             bits = [jax.random.bits(jax.random.fold_in(key, it32 + kk),

@@ -570,9 +570,11 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     launch overhead dominates and the fused kernel pays off most.
 
     Layout (see ``ops/fused_step.py`` resample constants): population
-    padded to one ``[d, 8, 128]`` block with the C real chains as the
-    sublane-row-0 prefix; history packed into lane-dense ``[S, d, 128]``
-    slabs carried in ``state.history`` and updated IN-kernel.  Kernels
+    padded to one ``[d, 8, Cf]`` block with the C real chains as the
+    sublane-row-0 prefix (Cf = 128 for C ≤ 128; the WIDE layout
+    Cf = ceil(C/128)·128 above it, stream-engine-only); history packed
+    into lane-dense ``[S, d, Cf]`` slabs carried in ``state.history``
+    and updated IN-kernel.  Kernels
     build lazily per (K, slab count, emit) — the slab count depends on
     the run's ``n_iter`` — and memoize on the step object.  Trajectory
     outputs are sliced to the real chains inside the jitted step (so the
@@ -590,13 +592,16 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         history exceeds the in-VMEM engine's measured-safe budget — so
         arbitrarily long runs keep the fused kernel instead of dropping
         to the ~100x-slower XLA step (verdict r4 item 1).
-        DEMCMC_RESAMPLE_STREAM=1/0 forces."""
+        DEMCMC_RESAMPLE_STREAM=1/0 forces — except on the WIDE layout
+        (C > 128), which only exists on the streaming engine."""
+        if C_real > fused_mod.RESAMPLE_CF:
+            return True
         env = os.environ.get("DEMCMC_RESAMPLE_STREAM", "auto")
         if env == "1":
             return True
         if env == "0":
             return False
-        return (S * spec.dim * fused_mod.RESAMPLE_CF * 4
+        return (S * spec.dim * Cf * 4
                 > fused_mod.RESAMPLE_HIST_VMEM)
 
     def _get_kernel(K, S, emit="all", stream=False):
@@ -613,7 +618,8 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
 
     # validate the program (density replay, layout) once with the
     # smallest slab count so build_step's try/except can fall back
-    _get_kernel(1, fused_mod.RESAMPLE_S_GRAN)
+    _get_kernel(1, fused_mod.RESAMPLE_S_GRAN,
+                stream=_stream_for(fused_mod.RESAMPLE_S_GRAN))
 
     def _call(kern, state):
         return kern(state.theta, state.weight, _raw_key(state.key),
@@ -722,7 +728,8 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         HBM-streaming engine (``_stream_for``) instead of falling back
         to the XLA step.  Only DEMCMC_RESAMPLE_STREAM=0 (force-vmem,
         for A/B testing) restores the old budget gate."""
-        if os.environ.get("DEMCMC_RESAMPLE_STREAM", "auto") == "0":
+        if (os.environ.get("DEMCMC_RESAMPLE_STREAM", "auto") == "0"
+                and C_real <= fused_mod.RESAMPLE_CF):
             return fused_mod.resample_hist_fits(de, spec, H)
         return True
 

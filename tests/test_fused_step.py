@@ -201,8 +201,12 @@ def _make_resample(**kw):
 def test_resample_supported_predicate(interpret):
     model, de = _make_resample()
     assert fused_step.supported(model, de, make_spec(model, de))
+    # C in (128, 1024] takes the WIDE single-row layout since round 5
+    mw, dw = _make_resample(Np=64, n_groups=3)      # C = 192
+    assert fused_step.supported(mw, dw, make_spec(mw, dw))
+    assert fused_step.resample_layout(dw) == (192, 1, 256)
     for bad in (dict(n_groups=4, Np=4, alpha=0.1),  # migration + resample
-                dict(Np=64, n_groups=3),            # C > 128 (pad row 0)
+                dict(Np=64, n_groups=17),           # C > 1024 (wide max)
                 dict(n_initial=0),
                 dict(update_particle="maximize",
                      evaluate_fitness="fun"),       # optimization mode
@@ -266,6 +270,64 @@ def test_resample_superstep_and_thin_bitwise(interpret, monkeypatch):
                                   np.asarray(ys1.theta[2:15:3]))
     np.testing.assert_array_equal(np.asarray(ys3.accept),
                                   np.asarray(ys1.accept[2:15:3]))
+
+
+def test_resample_wide_superstep_and_thin_bitwise(interpret, monkeypatch):
+    """WIDE-layout (C > 128) resample: K-superstep and thin launches
+    are bitwise identical to single launches.  This is the exactness
+    check for the wide window path — a K > 1 launch resolves partner
+    draws that hit rows written EARLIER IN THE SAME LAUNCH through the
+    in-kernel one-hot-gemm window gather, while the K=1 run resolves
+    every draw through the XLA pre-gather; bitwise equality proves the
+    two engines agree."""
+    from demcmc_tpu.sampler import _grow_history, init_state, run_scan
+    model, de = _make_resample(burnin=5, Np=4, n_groups=64)   # C = 256
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert fused_step.resample_layout(de) == (256, 1, 256)
+    st = step.to_fused(_grow_history(init_state(model, de, spec, 0), 18))
+    _, ys1 = run_scan(step, st, 18, progress_chunks=1)
+    assert np.all(np.isfinite(np.asarray(ys1.lp)))
+
+    monkeypatch.setenv("DEMCMC_SUPER_K", "6")
+    model2, de2 = _make_resample(burnin=5, Np=4, n_groups=64)
+    step2 = build_step(model2, de2, spec)
+    assert step2.superstep_k == 6
+    st2 = step2.to_fused(
+        _grow_history(init_state(model2, de2, spec, 0), 12))
+    _, ys2 = run_scan(step2, st2, 12, progress_chunks=1)
+    np.testing.assert_array_equal(np.asarray(ys1.theta[:12]),
+                                  np.asarray(ys2.theta))
+    np.testing.assert_array_equal(np.asarray(ys1.accept[:12]),
+                                  np.asarray(ys2.accept))
+
+    st3 = step2.to_fused(
+        _grow_history(init_state(model2, de2, spec, 0), 15))
+    _, ys3 = run_scan(step2, st3, 15, thin=3)
+    np.testing.assert_array_equal(np.asarray(ys3.theta),
+                                  np.asarray(ys1.theta[2:15:3]))
+
+
+def test_resample_wide_matches_xla(interpret, monkeypatch):
+    """The wide fused DE-MCz path samples the same posterior as the XLA
+    reference step at the same config (different PRNG streams —
+    statistical agreement on moments)."""
+    model, de = _make_resample(Np=3, n_groups=64, burnin=300,
+                               n_initial=30)          # C = 192, wide
+    fused = sample(model, de, 1300, key=7)
+    monkeypatch.setenv("DEMCMC_FUSED", "off")
+    model2, de2 = _make_resample(Np=3, n_groups=64, burnin=300,
+                                 n_initial=30)
+    ref = sample(model2, de2, 1300, key=7)
+    for i in range(2):
+        fm = float(fused.data[..., i].mean())
+        rm = float(ref.data[..., i].mean())
+        fs = float(fused.data[..., i].std())
+        rs = float(ref.data[..., i].std())
+        assert abs(fm - rm) < 0.08, (i, fm, rm)
+        assert abs(fs - rs) < 0.08, (i, fs, rs)
+    assert abs(float(fused.acceptance.mean())
+               - float(ref.acceptance.mean())) < 0.1
 
 
 def test_post_burnin_split_bitwise(interpret, monkeypatch):

@@ -89,6 +89,73 @@ def sbc_snooker_resample(M=32, d=3, n_obs=20):
     return np.asarray(ranks)
 
 
+def sbc_wide_resample(M=20, d=2, n_obs=20):
+    """SBC of the WIDE (C > 128) fused resample layout (round 5):
+    C = 192 DE-MCz + snooker runs the fused kernel itself (interpret
+    mode — the same kernel program the chip executes), serially per
+    replication.  Validates the wide history packing, the padded VMEM
+    index rows, and the one-hot-gemm window gather end to end — rank
+    uniformity catches any partner-routing bias the bitwise
+    window-vs-pregather test can't see on its own."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(53)
+    mu_true = rng.normal(0.0, 1.0, size=(M, d))
+    datasets = np.asarray(
+        rng.normal(mu_true[:, None, :], 1.0, size=(M, n_obs, d)),
+        np.float32)
+
+    def loglike(data, mu):
+        return -0.5 * jnp.sum((data - mu) ** 2)
+
+    def loglike_batched(data, mu):
+        # mu: [d, *chain-axes] (the fused kernel passes [d, 8, Cf])
+        diff = (data.reshape(data.shape + (1,) * (mu.ndim - 1))
+                - mu[None])
+        return -0.5 * jnp.sum(diff * diff, axis=(0, 1))
+
+    def prior_loglike(mu):
+        return -0.5 * jnp.sum(mu ** 2)
+
+    def prior_loglike_batched(mu):
+        return -0.5 * jnp.sum(mu * mu, axis=0)
+
+    de = dm.DE(Np=3, n_groups=64, alpha=0.0, theta_snooker=0.5,
+               sample="resample", n_initial=(d + 1) * 4,
+               burnin=300, sweep="sync", bounds=((-np.inf, np.inf),))
+
+    prev = os.environ.get("DEMCMC_FUSED")
+    os.environ["DEMCMC_FUSED"] = "interpret"
+    try:
+        from demcmc_tpu.sampler import build_step, make_spec
+        ranks = []
+        for i in range(M):
+            model = dm.DEModel(
+                loglike=loglike, prior_loglike=prior_loglike,
+                loglike_batched=loglike_batched,
+                prior_loglike_batched=prior_loglike_batched,
+                sample_prior=lambda k: [jax.random.normal(k, (d,))],
+                names=("mu",), data=jnp.asarray(datasets[i]))
+            if i == 0:           # the fused path must actually engage
+                step = build_step(model, de, make_spec(model, de))
+                assert getattr(step, "fused", False), "wide not fused"
+            chains = dm.sample(model, de, 900, key=4000 + i)
+            mu_draws = chains.group("mu")        # [Ns, d, C]
+            for j in range(d):
+                draws = mu_draws[:, j, :].reshape(-1)
+                idx = np.linspace(0, draws.size - 1, L).astype(int)
+                ranks.append(int(np.sum(draws[idx] < mu_true[i, j])))
+    finally:
+        if prev is None:
+            os.environ.pop("DEMCMC_FUSED", None)
+        else:
+            os.environ["DEMCMC_FUSED"] = prev
+    print(f"[sbc-wide-resample] {M} replications sampled (serial fused "
+          f"interpret, C=192)")
+    return np.asarray(ranks)
+
+
 def sbc_blocked(M=32, d=2, n_obs=20):
     """SBC of the block-updating path (``block_update!`` + ``reset!``):
     every iteration updates each coordinate in its own full sweep
@@ -343,7 +410,8 @@ def main():
     p5 = _chi2(sbc_blocked(), "blocked/reset")
     p6 = _chi2(sbc_packed(), "packed-replications")
     p7 = _chi2(sbc_packed(alpha=0.1), "packed-replications-alpha")
-    return min(p, p2, p3, p4, p5, p6, p7)
+    p8 = _chi2(sbc_wide_resample(), "wide-resample-fused")
+    return min(p, p2, p3, p4, p5, p6, p7, p8)
 
 
 if __name__ == "__main__":
