@@ -120,6 +120,12 @@ def mig_ik_max_g() -> int:
 # the per-launch trajectory block.
 SUPER_K = 16
 
+# interpret-mode row budget for the in-kernel migration boundary replay
+# (mig_replay): 3 pre-laid draw rows per potential coalesced event.
+# Covers any window this package builds (super_k() caps at 256); the
+# hardware path draws in-body and needs no cap.
+_REPLAY_E_CAP = 512
+
 
 def super_k() -> int:
     """Iterations per superstep launch; ``DEMCMC_SUPER_K`` overrides the
@@ -1256,7 +1262,7 @@ _call_prims = ("pjit", "closed_call", "core_call", "custom_jvp_call",
 
 def build_fused_step(model, de, spec, interpret=None, K=1,
                      mig_in_kernel=False, emit="all", hist_S=None,
-                     hist_stream=False, phase="all"):
+                     hist_stream=False, phase="all", mig_replay=False):
     """Returns ``kernel_call(theta3 [d,R,Cf], weight3 [R,Cf], key2 [2]
     uint32, it scalar, fire [1,1] int32) -> (theta_traj [K,d,R,Cf],
     w_traj [K,R,Cf], accept [K,R,Cf] bool, fire_out [1,1])`` — ``K``
@@ -1377,6 +1383,20 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     theta_s = float(de.theta_snooker)      # per-CHAIN snooker probability
     burnin = int(de.burnin)
     mig_in_kernel = bool(mig_in_kernel) and alpha > 0.0
+    # mig_replay (round 5, verdict r4 item 3): migration stays OUT of
+    # the per-iteration path (the mesh/coalesced convention — fire
+    # exports the window's gate count), but the window's coalesced
+    # events replay IN-kernel at k == 0 instead of in XLA between
+    # launches: a dynamic-trip fori_loop applies the verified
+    # _mig_apply/_mig_apply_sorted machinery ``count`` times with
+    # draws from a dedicated hardware-PRNG stream (probe_mosaic11
+    # validates the constructs).  Callers use it when the migration
+    # group space is SHARD-LOCAL (a 1-device mesh — the gate-bench
+    # structure; multi-device group spaces need the cross-shard victim
+    # hop, which stays on the XLA path).  The XLA exchange's ~20
+    # µs/event (kernel-count-bound argsort+gathers) drops to the
+    # in-kernel event cost.
+    mig_replay = bool(mig_replay) and alpha > 0.0 and not mig_in_kernel
     # K > 1 with alpha > 0 and migration OUTSIDE the kernel is the
     # coalesced mesh-window form: no exchange runs in-kernel, and the
     # fire export becomes the window's gate COUNT (docstring) for the
@@ -1407,7 +1427,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         # matrices are cheap at this size)
     elif mig_sorted_ok(G, Np):
         mig_variant = "sorted"     # padded-compact lattice (any Gr)
-    elif mig_in_kernel:
+    elif mig_in_kernel or mig_replay:
         raise ValueError(
             f"no in-kernel migration variant for G={G} (not a multiple "
             f"of 8 and the [G, G] fallback is "
@@ -1772,7 +1792,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     # Gr % 128 == 0 (MXU geometry — tiny code footprint), else the
     # packed widening-scatter masks (numpy-simulated at build time)
     mig_spread_T = mig_word_idx = mig_gemm_idx = None
-    if mig_in_kernel and mig_variant == "sorted":
+    if (mig_in_kernel or mig_replay) and mig_variant == "sorted":
         if Gr % COMPACT_MIN_GR == 0:
             mig_gemm_idx = len(ship)
             ship.extend(_compress_mats(Np))
@@ -1863,14 +1883,6 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
         ship_vals = [ref[:] for ref in ship_refs]
         it = it_ref[0] + k
-        if not interpret:
-            # libtpu supports at most 2 seed words — fold the iteration
-            # into both words (golden-ratio odd multiplier) instead of
-            # passing it as a third; re-seeded per grid step, so a
-            # K-iteration launch is bitwise identical to K launches
-            mixed = (it.astype(jnp.uint32) * np.uint32(0x9E3779B9))
-            pltpu.prng_seed(key_ref[0] ^ mixed,
-                            key_ref[1] + mixed + np.uint32(1))
         # (pallas kernels may not capture ARRAY constants, so lane/slot
         # indices stay in-kernel iotas; Mosaic folds iota-derived
         # predicates where it can)
@@ -1921,6 +1933,79 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         def randint(rows, span):
             return pltpu.bitcast(take(rows) % np.uint32(span),
                                  jnp.int32)
+
+        # ---- in-kernel COALESCED boundary replay (mig_replay mode):
+        # the previous window's gate count arrives in fire_in, and its
+        # events apply here — before the launch's first iteration,
+        # exactly where the XLA mig_multi replay sat — via a
+        # dynamic-trip fori over the verified migration machinery.
+        # Draws come from a dedicated replay PRNG stream (salted seed;
+        # the per-iteration stream is seeded AFTER this block, so
+        # count = 0 launches stay bitwise identical), statistically the
+        # same per-event law as every other migration path. ----------
+        if mig_replay:
+            cnt0 = fire_in_ref[0]
+
+            @pl.when((k == 0) & (cnt0 > 0))
+            def _():
+                if not interpret:
+                    mx0 = (it_ref[0].astype(jnp.uint32)
+                           * np.uint32(0x9E3779B9))
+                    pltpu.prng_seed(
+                        key_ref[0] ^ mx0 ^ np.uint32(0x5EED5A17),
+                        key_ref[1] + mx0 + np.uint32(2))
+
+                def ev_body(e, carry):
+                    if interpret:
+                        b0 = np.int32(K * n_words)
+                        row_u = bits_ref[pl.ds(b0 + 3 * e, 1),
+                                         :].reshape(R, Cf)
+                        row_g = bits_ref[pl.ds(b0 + 3 * e + 1, 1),
+                                         :].reshape(R, Cf)
+                        nb = bits_ref[pl.ds(b0 + 3 * e + 2, 1),
+                                      :][:, :1]             # [1, 1]
+                    else:
+                        row_u = pltpu.bitcast(
+                            pltpu.prng_random_bits((R, Cf)), jnp.uint32)
+                        row_g = pltpu.bitcast(
+                            pltpu.prng_random_bits((R, Cf)), jnp.uint32)
+                        nb = pltpu.bitcast(
+                            pltpu.prng_random_bits((1, 128)),
+                            jnp.uint32)[:, :1]
+                    u_row = to_uni(row_u)
+                    na_f = (pltpu.bitcast(nb % np.uint32(G - 1),
+                                          jnp.int32).astype(dt)
+                            + np.float32(2.0))              # [1, 1]
+                    gum = -jnp.log(-jnp.log(
+                        jnp.maximum(to_uni(row_g), tiny)))
+                    if mig_variant == "onehot":
+                        nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_row,
+                                            na_f, gum, p, G=G, Np=Np,
+                                            Gr=Gr)
+                    else:
+                        sp = (None if mig_word_idx is None else
+                              (mig_spread_T, ship_vals[mig_word_idx]))
+                        gm = (None if mig_gemm_idx is None else
+                              (ship_vals[mig_gemm_idx],
+                               ship_vals[mig_gemm_idx + 1]))
+                        nt, nw = _mig_apply_sorted(
+                            theta_sc[:], w_sc[:], u_row, na_f, gum, p,
+                            G=G, Np=Np, Gr=Gr, spread=sp, gemm=gm)
+                    for i in range(d):
+                        theta_sc[i] = nt[i]
+                    w_sc[:] = nw
+                    return carry
+
+                jax.lax.fori_loop(0, cnt0, ev_body, jnp.int32(0))
+
+        if not interpret:
+            # libtpu supports at most 2 seed words — fold the iteration
+            # into both words (golden-ratio odd multiplier) instead of
+            # passing it as a third; re-seeded per grid step, so a
+            # K-iteration launch is bitwise identical to K launches
+            mixed = (it.astype(jnp.uint32) * np.uint32(0x9E3779B9))
+            pltpu.prng_seed(key_ref[0] ^ mixed,
+                            key_ref[1] + mixed + np.uint32(1))
 
         # ---- migration BEFORE the update (main.jl:85), in-kernel under
         # the look-ahead Bernoulli(α) gate; BIT draws are unconditional
@@ -2571,6 +2656,19 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             bits = [jax.random.bits(jax.random.fold_in(key, it32 + kk),
                                     (n_words, C), jnp.uint32)
                     for kk in range(K)]
+            if mig_replay:
+                # boundary-replay draw rows (3 per potential event),
+                # appended past the K·n_words per-iteration rows;
+                # dedicated salted namespace.  The count a launch
+                # receives is bounded by the PREVIOUS launch's K (a
+                # run_scan mixes superstep/thin/remainder kernels), so
+                # the row budget uses a fixed cap covering every K this
+                # package builds (super_k() caps at 256)
+                rkey = jax.random.fold_in(
+                    jax.random.fold_in(key, 0x5EED5A17 & 0x7FFFFFFF),
+                    it32)
+                bits.append(jax.random.bits(rkey, (3 * _REPLAY_E_CAP, C),
+                                            jnp.uint32))
             extra += (jnp.concatenate(bits, axis=0),)
         if stream:
             # XLA slices the launch's write window out of the HBM

@@ -243,9 +243,11 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     masked exchange) only under a mesh or when G//8 is not a power of
     two.  Under a mesh the superstep/device-thin still compose via
     COALESCING: K-window launches accumulate the in-window gate count
-    in-kernel and ``mig_multi`` replays the events at window boundaries
-    (law-exact — PARITY.md delta 6; ``SHARDED_GATE.json`` measures the
-    sharded α=0.001 superstep at 1.02x the unsharded α=0 floor)."""
+    in-kernel and the events replay at window boundaries (law-exact —
+    PARITY.md delta 6) — IN-kernel when the migration group space is
+    shard-local (``mig_replay``, round 5), else by ``mig_multi`` in
+    XLA.  ``SHARDED_GATE.json`` (v5e): sharded α=0.1 superstep 0.97x
+    the unsharded in-kernel step; α=0.001 at 0.98x the α=0 floor."""
     from .ops import fused_step as fused_mod
     if de.uses_resample:
         if mesh is not None:
@@ -271,6 +273,25 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
                  and (fused_mod.mig_sorted_ok(G, Np)
                       or (G <= fused_mod.MIG_MAX_G
                           and not de.is_minimize)))
+    # in-kernel COALESCED boundary replay for mesh runs whose migration
+    # group space is SHARD-LOCAL (round 5, verdict r4 item 3): a
+    # 1-device mesh — the gate-bench structure — replays the window's
+    # events inside the kernel at k == 0 (build_fused_step mig_replay),
+    # eliminating the XLA exchange's ~20 µs/event between launches.
+    # Multi-device group spaces keep the XLA mig_multi replay: the
+    # global cycle's victim values cross shards (future: pltpu remote
+    # DMA).  DEMCMC_MIG_REPLAY=0 forces the XLA replay for A/B.
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    G_loc = G // n_dev
+    mig_replay = (mesh is not None and 0.0 < alpha and 2 <= G_loc
+                  and n_dev == 1
+                  and os.environ.get("DEMCMC_MIG_REPLAY", "1") != "0"
+                  and os.environ.get("DEMCMC_MIG_GATE",
+                                     "cond") != "branchless"
+                  and G_loc <= fused_mod.mig_ik_max_g()
+                  and (fused_mod.mig_sorted_ok(G_loc, Np)
+                       or (G_loc <= fused_mod.MIG_MAX_G
+                           and not de.is_minimize)))
     # past MIG_IK_MAX_G the in-kernel machinery costs ~27 µs/step even
     # unfired (kernel-size cliff, see the constant's comment); those
     # layouts keep the superstep through the single-device COALESCED
@@ -287,7 +308,8 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
                 emit=emit, phase=phase)
         kern = fused_mod.build_fused_step(
             model, fused_mod.local_de(de, int(mesh.devices.size)), spec,
-            K=K, mig_in_kernel=False, emit=emit, phase=phase)
+            K=K, mig_in_kernel=False, emit=emit, phase=phase,
+            mig_replay=mig_replay)
         wrapped = _shard_wrap(kern, mesh)
         # build_fused_step only lowers the BARE local kernel; errors
         # specific to partitioning the manual Pallas region under
@@ -402,13 +424,13 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
     # single-device runs coalesce too when the layout is in-kernel-
     # eligible but sits above the MIG_IK_MAX_G kernel-size cliff
     # (smaller/odd layouts keep the bitwise per-iteration cond path)
-    coalesce = (alpha > 0.0 and not mig_ik and not branchless
-                and (mesh is not None or mig_ik_ok))
+    coalesce = (alpha > 0.0 and not mig_ik and not mig_replay
+                and not branchless and (mesh is not None or mig_ik_ok))
 
     def _call(kern, state):
         it = state.iteration
         key2 = _raw_key(state.key)
-        if mig_ik or alpha == 0.0:
+        if mig_ik or mig_replay or alpha == 0.0:
             return kern(state.theta, state.weight, key2, it, state.fire)
         if coalesce:
             t3, w3 = mig_multi(state, state.theta, state.weight)
@@ -443,7 +465,7 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
         in coalesced mesh mode, where in-window migration events replay
         at window boundaries (``mig_multi``; statistically exact, not
         bitwise vs singles)."""
-        if not (mig_ik or alpha == 0.0 or coalesce):
+        if not (mig_ik or mig_replay or alpha == 0.0 or coalesce):
             return None                  # data-dependent XLA migration
         if not _super:
             sk = fused_mod.super_k()
@@ -475,7 +497,7 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
         the last one's trajectory written to HBM (``emit='last'``).
         Replaces run_scan's thin-inner-scan of single-step launches,
         which is launch-overhead bound on this path."""
-        if not (mig_ik or alpha == 0.0 or coalesce):
+        if not (mig_ik or mig_replay or alpha == 0.0 or coalesce):
             return None                  # data-dependent XLA migration
         if thin not in _thin_cache:
             try:

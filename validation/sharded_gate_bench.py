@@ -64,11 +64,18 @@ def time_scan(step, state, n_iter, use_super=False):
     return t / ((n_iter // k) * k)
 
 
-def build(alpha, mesh=None, gate=None):
+def build(alpha, mesh=None, gate=None, replay=None):
     if gate is not None:
         os.environ["DEMCMC_MIG_GATE"] = gate
     else:
         os.environ.pop("DEMCMC_MIG_GATE", None)
+    # replay=True (default when eligible): in-kernel boundary replay of
+    # the coalesced window events (round 5); replay=False forces the
+    # XLA mig_multi replay (the round-4 behavior) for A/B
+    if replay is None:
+        os.environ.pop("DEMCMC_MIG_REPLAY", None)
+    else:
+        os.environ["DEMCMC_MIG_REPLAY"] = "1" if replay else "0"
     model, de = gaussian.make(key=0, n_obs=50, n_groups=256, Np=16,
                               burnin=100, alpha=alpha)
     spec = make_spec(model, de)
@@ -96,13 +103,18 @@ def main():
                                             use_super=True) * 1e6
     for alpha, tag in ((0.001, "a001"), (0.1, "a01")):
         for gate in ("cond", "branchless"):
-            step, st = build(alpha, mesh=mesh1, gate=gate)
+            step, st = build(alpha, mesh=mesh1, gate=gate, replay=False)
             out[f"sharded_{tag}_{gate}_us"] = time_scan(
                 step, st, N_ITER) * 1e6
-        # coalesced mesh superstep (round 4): K-window launches with
-        # the boundary mig_multi replay — sharded alpha > 0 keeps the
-        # K-superstep
-        step, st = build(alpha, mesh=mesh1, gate="cond")
+        # coalesced mesh superstep with the round-4 XLA boundary
+        # replay (mig_multi) — kept for A/B
+        step, st = build(alpha, mesh=mesh1, gate="cond", replay=False)
+        out[f"sharded_{tag}_super_xla_us"] = time_scan(
+            step, st, N_ITER, use_super=True) * 1e6
+        # round 5: the window events replay IN-kernel (mig_replay —
+        # shard-local group space, the 1-device structure) — no XLA
+        # work between launches at all
+        step, st = build(alpha, mesh=mesh1, gate="cond", replay=True)
         out[f"sharded_{tag}_super_us"] = time_scan(
             step, st, N_ITER, use_super=True) * 1e6
     out["ratio_sharded_a001_cond_vs_floor"] = round(
@@ -116,12 +128,15 @@ def main():
     out = {k: (round(v, 3) if isinstance(v, float) else v)
            for k, v in out.items()}
     out["config"] = "gaussian 4096 chains (G=256, Np=16), 20k iters"
-    out["note"] = ("1-device mesh: shard_map composition + XLA-level "
-                   "migration gate, the structure a real multi-chip run "
-                   "uses; cond gate skips the exchange on unfired steps; "
-                   "'super' = the coalesced K-superstep (in-window gate "
-                   "counts accumulated in-kernel, events replayed at "
-                   "window boundaries by mig_multi)")
+    out["note"] = ("1-device mesh: shard_map composition + migration "
+                   "gating, the structure a real multi-chip run uses; "
+                   "cond gate skips the exchange on unfired steps; "
+                   "'super_xla' = coalesced K-superstep with the XLA "
+                   "boundary replay (mig_multi, round 4); 'super' = the "
+                   "round-5 IN-kernel boundary replay (mig_replay: the "
+                   "window's events apply inside the kernel at k==0 "
+                   "when the migration group space is shard-local — no "
+                   "XLA work between launches)")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SHARDED_GATE.json")
     with open(path, "w") as f:
