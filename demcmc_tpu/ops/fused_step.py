@@ -268,8 +268,10 @@ def _resample_supported(de) -> bool:
         return False               # past the wide single-row layout: XLA
     if de.n_groups > 1 and float(de.alpha) > 0.0:
         return False               # migration over the padded layout: XLA
-    if de.blocks is not None:
-        return False               # blocked resample sweeps: XLA path
+    # blocked resample sweeps run in-kernel since round 5 (each block's
+    # sweep consumes its own partner-draw slot sets, like the
+    # reference's per-block crossover calls); dynamic blocking_on still
+    # needs the XLA cond — gated by the shared check in supported()
     if not de.is_mh:
         return False               # optimization + resample: XLA path
     if de.n_initial < 1:
@@ -346,6 +348,8 @@ def resample_idx_words(de) -> int:
     n_slots = 2 + (3 if float(de.theta_snooker) > 0.0 else 0)
     if de.sequential_sweep:
         n_slots *= de.Np      # one tuple set per member per iteration
+    if de.blocks is not None and _blocking_const(de) is True:
+        n_slots *= len(de.blocks)   # one tuple set per block sweep
     return n_slots * lane_w
 
 
@@ -1353,7 +1357,13 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         C_real, Cf = C, C // R
         S_hist = n_slots = 0
         wide = False
-    n_slots_tot = n_slots * n_members
+    # one partner-draw slot set per (block sweep, member): the reference
+    # draws fresh partners for every block's crossover call
+    # (main.jl:174-179 -> crossover.jl sample slot)
+    n_blk = (len(de.blocks)
+             if de.blocks is not None and _blocking_const(de) is True
+             else 1)
+    n_slots_tot = n_slots * n_members * n_blk
     if stream:
         # window of slabs this launch writes (rows it0-1 .. it0+K-2)
         W_win = min((K - 1) // B_hist + 2, S_hist)
@@ -2170,7 +2180,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
 
             fetch_hist = fetch_hist_wide if wide else fetch_hist_narrow
 
-            def one_sweep_resample(theta, w, member=None, mut_gate=None):
+            def one_sweep_resample(theta, w, bkeep, member=None,
+                                   mut_gate=None, block=0):
                 """The resample-mode sub-sweep: DE partners (and the
                 snooker triple) come from the HISTORY
                 (crossover.jl:113-124 via the de.sample slot), not the
@@ -2179,15 +2190,17 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 needed pre-burnin (base gather), so _sweep_tail builds
                 it lazily inside that pl.when region.  Sequential mode:
                 each member consumes its OWN slot block of the
-                precomputed indices (member-major layout)."""
-                base = 0 if member is None else member * n_slots
+                precomputed indices; blocked mode likewise per block
+                sweep (block-major, then member — r5)."""
+                base = (block * n_members
+                        + (0 if member is None else member)) * n_slots
                 pm = fetch_hist(base + 0)
                 pn = fetch_hist(base + 1)
                 sn = None
                 if theta_s > 0.0:
                     sn = (fetch_hist(base + 2), fetch_hist(base + 3),
                           fetch_hist(base + 4))
-                return _sweep_tail(theta, w, None, pm, pn,
+                return _sweep_tail(theta, w, bkeep, pm, pn,
                                    sn_partners=sn, member=member,
                                    mut_gate=mut_gate)
 
@@ -2396,16 +2409,19 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             new_w = jnp.where(acc, w_prop, w)
             return new_t, new_w, acc
 
-        def run_sweeps(theta, w, bkeep):
+        def run_sweeps(theta, w, bkeep, block=0):
             """One reference sweep: synchronous (one vectorized pass) or
             sequential (reference-exact: n_members masked sub-sweeps,
             partners recomputed from the partially-updated group —
             crossover.jl:12-17; the synchronous form's invariance bias
             at small Np is documented on DE.sweep)."""
-            do = one_sweep_resample if resample else \
-                (lambda t, ww, m=None, g=None: one_sweep(t, ww, bkeep,
-                                                         member=m,
-                                                         mut_gate=g))
+            if resample:
+                def do(t, ww, m=None, g=None):
+                    return one_sweep_resample(t, ww, bkeep, member=m,
+                                              mut_gate=g, block=block)
+            else:
+                def do(t, ww, m=None, g=None):
+                    return one_sweep(t, ww, bkeep, member=m, mut_gate=g)
             if not seq:
                 return do(theta, w)
             mg = None
@@ -2426,8 +2442,8 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             # later blocks see earlier blocks' accepts; accept/lp of the
             # LAST block are what gets recorded (utilities.jl:201-210
             # overwrites once per block)
-            for bkeep in blocks_flat:
-                new_t, new_w, acc = run_sweeps(theta, w, bkeep)
+            for bi, bkeep in enumerate(blocks_flat):
+                new_t, new_w, acc = run_sweeps(theta, w, bkeep, bi)
                 theta, w = new_t, new_w
         theta_sc[:] = new_t
         w_sc[:] = new_w
@@ -2598,16 +2614,17 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
             # draws its own pair/triple; n_members == 1 in sync mode),
             # distinct WITHIN each (member, chain) tuple
             rows, chains_ = proposal_ops.resample_flat_indices(
-                kd, 2, count, C_real, (n_members, C_real))
+                kd, 2, count, C_real, (n_blk * n_members, C_real))
             if theta_s > 0.0:
                 r2, c2 = proposal_ops.resample_flat_indices(
-                    kd, 3, count, C_real, (n_members, C_real))
+                    kd, 3, count, C_real, (n_blk * n_members, C_real))
                 rows = jnp.concatenate([rows, r2])       # [slots, M, C]
                 chains_ = jnp.concatenate([chains_, c2])
             slab = rows // B_hist
             lanep = (rows % B_hist) * C_real + chains_
             packed = (slab * Cf + lanep).astype(jnp.int32)
-            # member-major slot order (fetch index member·n_slots + s)
+            # (block, member)-major slot order (fetch index
+            # (block·n_members + member)·n_slots + s)
             out = jnp.transpose(packed, (1, 0, 2)).reshape(
                 n_slots_tot, C_real)
             if wide:

@@ -205,13 +205,15 @@ def test_resample_supported_predicate(interpret):
     mw, dw = _make_resample(Np=64, n_groups=3)      # C = 192
     assert fused_step.supported(mw, dw, make_spec(mw, dw))
     assert fused_step.resample_layout(dw) == (192, 1, 256)
+    # blocked resample sweeps fuse since round 5 (per-block draw sets)
+    mb, db = _make_resample(blocking_on=True,
+                            blocks=[[True, False], [False, True]])
+    assert fused_step.supported(mb, db, make_spec(mb, db))
     for bad in (dict(n_groups=4, Np=4, alpha=0.1),  # migration + resample
                 dict(Np=64, n_groups=17),           # C > 1024 (wide max)
                 dict(n_initial=0),
                 dict(update_particle="maximize",
-                     evaluate_fitness="fun"),       # optimization mode
-                dict(blocking_on=True,
-                     blocks=[[True, False], [False, True]])):
+                     evaluate_fitness="fun")):      # optimization mode
         m2, d2 = _make_resample(**bad)
         assert not fused_step.supported(m2, d2, make_spec(m2, d2)), bad
 
@@ -320,10 +322,10 @@ def test_resample_wide_matches_xla(interpret, monkeypatch):
                                  n_initial=30)
     ref = sample(model2, de2, 1300, key=7)
     for i in range(2):
-        fm = float(fused.data[..., i].mean())
-        rm = float(ref.data[..., i].mean())
-        fs = float(fused.data[..., i].std())
-        rs = float(ref.data[..., i].std())
+        fm = float(fused.data[:, i, :].mean())
+        rm = float(ref.data[:, i, :].mean())
+        fs = float(fused.data[:, i, :].std())
+        rs = float(ref.data[:, i, :].std())
         assert abs(fm - rm) < 0.08, (i, fm, rm)
         assert abs(fs - rs) < 0.08, (i, fs, rs)
     assert abs(float(fused.acceptance.mean())
@@ -818,6 +820,47 @@ def test_fused_blocked_posterior_matches_oracle(interpret):
     assert abs(c.mean("sigma") - ref["sigma"]["mean"]) < 0.03
     assert abs(c.std("mu") - ref["mu"]["std"]) < 0.02
     assert abs(c.std("sigma") - ref["sigma"]["std"]) < 0.02
+
+
+def test_resample_blocked_untouched_dims_frozen(interpret):
+    """Blocked RESAMPLE sweeps run in-kernel since round 5 (per-block
+    partner-draw sets).  A single block covering only mu must leave
+    sigma exactly at its initial value — reset! semantics over the
+    history-partner proposal."""
+    from demcmc_tpu.sampler import init_state
+
+    model, de = _make_resample(blocking_on=True, blocks=[[True, False]],
+                               beta=0.0, burnin=10,
+                               discard_burnin=False)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    state0 = init_state(model, de, spec, key=4)
+    sigma0 = np.asarray(state0.theta)[:, :, 1].reshape(-1)
+    c = sample(model, de, 60, key=4)
+    sig = c.data[:, c.names.index("sigma"), :]
+    assert np.array_equal(sig, np.broadcast_to(sigma0, sig.shape))
+    mu = c.data[:, c.names.index("mu"), :]
+    assert not np.array_equal(mu[0], mu[-1])
+
+
+@pytest.mark.slow
+def test_resample_blocked_posterior_matches_oracle(interpret):
+    """Blocked + resample + snooker (all three compose in the
+    reference: blocking_tests.jl shape with the de.sample slot) targets
+    the right posterior on the fused path."""
+    model, de = _make_resample(Np=6, n_initial=40, burnin=500,
+                               blocking_on=True,
+                               blocks=[[True, False], [False, True]])
+    chains = sample(model, de, 2500, key=11)
+    ref = gaussian.posterior_grid(F32_DATA)
+    means = chains.data.mean(axis=(0, 2))
+    stds = chains.data.std(axis=(0, 2))
+    assert abs(means[0] - ref["mu"]["mean"]) < 0.05
+    assert abs(means[1] - ref["sigma"]["mean"]) < 0.05
+    assert abs(stds[0] - ref["mu"]["std"]) < 0.05
+    assert abs(stds[1] - ref["sigma"]["std"]) < 0.05
+    assert 0.1 < chains.acceptance.mean() < 0.9
 
 
 @pytest.mark.slow
