@@ -267,7 +267,17 @@ def _resample_supported(de) -> bool:
     if C > RESAMPLE_MAX_C_WIDE:
         return False               # past the wide single-row layout: XLA
     if de.n_groups > 1 and float(de.alpha) > 0.0:
-        return False               # migration over the padded layout: XLA
+        # multi-group resample migrates IN-kernel since round 5: real
+        # groups are the row-0 prefix of the nominal group grid (pad
+        # groups mask out of the law with rank keys > 1) — needs a
+        # migration variant for the NOMINAL grid, under the
+        # kernel-size cliff
+        _, _, Cf_r = resample_layout(de)
+        G_m = _R * max(Cf_r // de.Np, 1)
+        if not (mig_sorted_ok(G_m, de.Np) or G_m <= MIG_MAX_G):
+            return False
+        if G_m > mig_ik_max_g():
+            return False
     # blocked resample sweeps run in-kernel since round 5 (each block's
     # sweep consumes its own partner-draw slot sets, like the
     # reference's per-block crossover calls); dynamic blocking_on still
@@ -1381,6 +1391,13 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     else:
         W_win = n_pre = 0
     Gr = max(Cf // Np, 1)             # groups per sublane row (G == R·Gr)
+    # migration machinery geometry: the NOMINAL group grid of the lane
+    # layout.  Standard layout: G_mig == G.  Resample layout: real
+    # groups are the row-0 prefix of the nominal grid; pad groups mask
+    # out of the law with rank keys = 2.0 (> any real uniform — NOT
+    # +inf, which would 0·inf→NaN through the one-hot gemm compactions)
+    # and the N ~ U{2..G_real} draw keeps them out of the cycle.
+    G_mig = R * Gr
     HIGH = jax.lax.Precision.HIGHEST  # bitexact one-hot contractions
     dt = jnp.float32
     lo_b = np.asarray(spec.lo, np.float32).reshape(d, 1)
@@ -1429,18 +1446,18 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
     # out-of-bounds scores) works too.  One-hot is the fallback for
     # non-power-of-two group layouts up to MIG_MAX_G (MH/max only — its
     # weight transport's -inf flag column doesn't cover +inf).
-    if mig_sorted_ok(G, Np) and _gr_pow2(G):
+    if mig_sorted_ok(G_mig, Np) and _gr_pow2(G_mig):
         mig_variant = "sorted"     # native power-of-two lattice
-    elif G <= MIG_MAX_G and mode != "min":
+    elif G_mig <= MIG_MAX_G and mode != "min":
         mig_variant = "onehot"     # small non-pow2 layouts: the verified
         # [G, G] one-hot path (padded-compact works here too but the
         # matrices are cheap at this size)
-    elif mig_sorted_ok(G, Np):
+    elif mig_sorted_ok(G_mig, Np):
         mig_variant = "sorted"     # padded-compact lattice (any Gr)
     elif mig_in_kernel or mig_replay:
         raise ValueError(
-            f"no in-kernel migration variant for G={G} (not a multiple "
-            f"of 8 and the [G, G] fallback is "
+            f"no in-kernel migration variant for G={G_mig} (not a "
+            f"multiple of 8 and the [G, G] fallback is "
             f"{'min-mode-incompatible' if mode == 'min' else 'capped at '}"
             f"{'' if mode == 'min' else MIG_MAX_G})")
     else:
@@ -1990,7 +2007,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                         jnp.maximum(to_uni(row_g), tiny)))
                     if mig_variant == "onehot":
                         nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_row,
-                                            na_f, gum, p, G=G, Np=Np,
+                                            na_f, gum, p, G=G_mig, Np=Np,
                                             Gr=Gr)
                     else:
                         sp = (None if mig_word_idx is None else
@@ -2000,7 +2017,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                                ship_vals[mig_gemm_idx + 1]))
                         nt, nw = _mig_apply_sorted(
                             theta_sc[:], w_sc[:], u_row, na_f, gum, p,
-                            G=G, Np=Np, Gr=Gr, spread=sp, gemm=gm)
+                            G=G_mig, Np=Np, Gr=Gr, spread=sp, gemm=gm)
                     for i in range(d):
                         theta_sc[i] = nt[i]
                     w_sc[:] = nw
@@ -2039,13 +2056,18 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                 # (bitonic_loop in _rank_cycle) is what fixed it.  See
                 # NOTES.md "instruction-footprint cliff".
                 u_row = to_uni(u_bits)
+                if resample:
+                    # pad groups (everything past the row-0 real-chain
+                    # prefix) rank LAST: finite key > any uniform
+                    u_row = jnp.where((rowI == 0) & (lane < C_real),
+                                      u_row, np.float32(2.0))
                 na_f = (pltpu.bitcast(nb % np.uint32(G - 1), jnp.int32)
                         .astype(dt) + np.float32(2.0))        # [1,1]
                 gum = -jnp.log(-jnp.log(jnp.maximum(to_uni(gum_bits),
                                                     tiny)))
                 if mig_variant == "onehot":
                     nt, nw = _mig_apply(theta_sc[:], w_sc[:], u_row, na_f,
-                                        gum, p, G=G, Np=Np, Gr=Gr)
+                                        gum, p, G=G_mig, Np=Np, Gr=Gr)
                 else:
                     sp = (None if mig_word_idx is None else
                           (mig_spread_T, ship_vals[mig_word_idx]))
@@ -2054,7 +2076,7 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
                            ship_vals[mig_gemm_idx + 1]))
                     nt, nw = _mig_apply_sorted(
                         theta_sc[:], w_sc[:], u_row, na_f, gum, p,
-                        G=G, Np=Np, Gr=Gr, spread=sp, gemm=gm)
+                        G=G_mig, Np=Np, Gr=Gr, spread=sp, gemm=gm)
                 for i in range(d):
                     theta_sc[i] = nt[i]
                 w_sc[:] = nw

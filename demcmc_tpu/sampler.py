@@ -626,6 +626,12 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         return (S * spec.dim * Cf * 4
                 > fused_mod.RESAMPLE_HIST_VMEM)
 
+    # multi-group resample keeps the reference migration IN-kernel
+    # (round 5): real groups are the row-0 prefix of the nominal group
+    # grid, pad groups mask out of the law (fused_step G_mig comment)
+    alpha_r = float(de.alpha) if de.n_groups > 1 else 0.0
+    mig_ik_res = alpha_r > 0.0
+
     def _get_kernel(K, S, emit="all", stream=False):
         kk = (K, S, emit, stream)
         if kk not in _kcache:
@@ -634,8 +640,8 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
             # jit); build_fused_step runs its host-side constant folding
             # under ensure_compile_time_eval so this is safe
             _kcache[kk] = fused_mod.build_fused_step(
-                model, de, spec, K=K, mig_in_kernel=False, emit=emit,
-                hist_S=S, hist_stream=stream)
+                model, de, spec, K=K, mig_in_kernel=mig_ik_res,
+                emit=emit, hist_S=S, hist_stream=stream)
         return _kcache[kk]
 
     # validate the program (density replay, layout) once with the
@@ -782,10 +788,21 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
         th_pad = jnp.zeros((d, R * Cf), dtype).at[:, :C_real].set(th)
         w_pad = jnp.full((R * Cf,), -jnp.inf, dtype).at[:C_real].set(
             state.weight.reshape(C_real).astype(dtype))
+        if mig_ik_res:
+            # first iteration's migration gate — the look-ahead
+            # convention of the standard fused path (subsequent gates
+            # come from the kernel's own draw)
+            fire = jax.random.bernoulli(
+                jax.random.fold_in(
+                    rng.step_key(state.key, state.iteration),
+                    rng.MIGRATE + 1), alpha_r).reshape(1, 1)
+            fire = fire.astype(jnp.int32)
+        else:
+            fire = jnp.zeros((1, 1), jnp.int32)     # alpha == 0 gate
         return state._replace(
             theta=th_pad.reshape(d, R, Cf), weight=w_pad.reshape(R, Cf),
             history=pack_history(state.history),
-            fire=jnp.zeros((1, 1), jnp.int32))      # alpha == 0 gate
+            fire=fire)
 
     def from_fused(state: SamplerState) -> SamplerState:
         return _unpack_fused_state(state, G, Np, d)

@@ -209,8 +209,10 @@ def test_resample_supported_predicate(interpret):
     mb, db = _make_resample(blocking_on=True,
                             blocks=[[True, False], [False, True]])
     assert fused_step.supported(mb, db, make_spec(mb, db))
-    for bad in (dict(n_groups=4, Np=4, alpha=0.1),  # migration + resample
-                dict(Np=64, n_groups=17),           # C > 1024 (wide max)
+    # ...and so does multi-group resample WITH migration (round 5)
+    mm, dm = _make_resample(n_groups=4, Np=4, alpha=0.1)
+    assert fused_step.supported(mm, dm, make_spec(mm, dm))
+    for bad in (dict(Np=64, n_groups=17),           # C > 1024 (wide max)
                 dict(n_initial=0),
                 dict(update_particle="maximize",
                      evaluate_fitness="fun")):      # optimization mode
@@ -820,6 +822,46 @@ def test_fused_blocked_posterior_matches_oracle(interpret):
     assert abs(c.mean("sigma") - ref["sigma"]["mean"]) < 0.03
     assert abs(c.std("mu") - ref["mu"]["std"]) < 0.02
     assert abs(c.std("sigma") - ref["sigma"]["std"]) < 0.02
+
+
+def test_resample_migration_fused_matches_xla(interpret, monkeypatch):
+    """Multi-group resample with migration (alpha > 0) runs the fused
+    kernel since round 5 — real groups are the row-0 prefix of the
+    nominal migration grid, pad groups rank last.  Statistical match vs
+    the XLA step at the same config (different PRNG streams)."""
+    model, de = _make_resample(Np=4, n_groups=8, alpha=0.3,
+                               n_initial=30, burnin=300)
+    spec = make_spec(model, de)
+    assert fused_step.supported(model, de, spec)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    fused = sample(model, de, 1300, key=7)
+    monkeypatch.setenv("DEMCMC_FUSED", "off")
+    model2, de2 = _make_resample(Np=4, n_groups=8, alpha=0.3,
+                                 n_initial=30, burnin=300)
+    ref = sample(model2, de2, 1300, key=7)
+    for i in range(2):
+        assert abs(float(fused.data[:, i, :].mean())
+                   - float(ref.data[:, i, :].mean())) < 0.08, i
+        assert abs(float(fused.data[:, i, :].std())
+                   - float(ref.data[:, i, :].std())) < 0.08, i
+    assert abs(float(fused.acceptance.mean())
+               - float(ref.acceptance.mean())) < 0.1
+
+
+def test_resample_wide_migration_smoke(interpret):
+    """WIDE resample + migration composes too (nominal grid G=1024 ->
+    sorted gemm-compact variant): short run stays finite with sane
+    acceptance."""
+    model, de = _make_resample(Np=4, n_groups=64, alpha=0.3,
+                               n_initial=30, burnin=60)   # C = 256
+    spec = make_spec(model, de)
+    assert fused_step.supported(model, de, spec)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    c = sample(model, de, 150, key=3)
+    assert np.all(np.isfinite(c.data))
+    assert 0.05 < float(c.acceptance.mean()) < 0.95
 
 
 def test_resample_blocked_untouched_dims_frozen(interpret):
