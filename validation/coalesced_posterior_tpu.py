@@ -12,6 +12,13 @@ through the fori_loop replay path, on a 1-device mesh (build_step
 collapses 1-device meshes, so the wrapped builder is called directly —
 the same structure a real multi-chip run uses).
 
+Since round 5 the default on a shard-local group space is the
+IN-KERNEL boundary replay (``mig_replay``), so a plain run validates
+that law; ``DEMCMC_MIG_REPLAY=0`` re-validates the XLA ``mig_multi``
+replay.  Recorded on v5e 2026-08-21: BOTH pass (in-kernel: mu mean
+0.0014/sd 0.1426 vs oracle 0.0015/0.1434; XLA: 0.0016/0.1426 — sigma
+likewise within 1e-3).
+
 Asserts the posterior mean/sd of both parameters against the 2-D
 quadrature oracle at the resolution the draw count supports.  Run ALONE
 on the TPU.
