@@ -323,9 +323,21 @@ def resample_super_k(de) -> int:
     plain SUPER_K: each launch pays a full history DMA in/out, so K
     amortizes it (18 MB at the reference's flagship MVN config ≈ 45 µs
     per launch ≈ 0.18 µs/iter at K=256).  Bounded by the SMEM budget
-    for the per-iteration partner-index words.  ``DEMCMC_SUPER_K``
+    for the per-iteration partner-index words (wide layouts use the
+    narrow-equivalent heuristic — see comment).  ``DEMCMC_SUPER_K``
     overrides."""
-    k = RESAMPLE_SMEM_IDX // max(resample_idx_words(de), 1)
+    C_real, _, Cf = resample_layout(de)
+    if C_real > RESAMPLE_CF:
+        # wide layout: K is nearly a wash on-chip (measured at C=512,
+        # n=24k: K ∈ {8, 12, 16, 24} all ~31-33 µs/iter — the
+        # per-launch O(S) pre-gather transpose amortizes against the
+        # K-scaled window machinery and window-hit rate; K=240 from a
+        # pure-VMEM budget measured 85).  Keep the narrow-equivalent
+        # index-words heuristic (K=6 at the C=512 snooker config).
+        n_slots_tot = max(resample_idx_words(de) // Cf, 1)
+        k = RESAMPLE_SMEM_IDX // max(n_slots_tot * C_real, 1)
+    else:
+        k = RESAMPLE_SMEM_IDX // max(resample_idx_words(de), 1)
     # K scales DOWN to 1 for word-heavy configs: a max(16, ...) floor
     # used to push e.g. sequential-sweep Np=64 launches to 2.6 MB of
     # SMEM, past the chip's 1 MB (code-review r4).  The env override is
@@ -2674,6 +2686,11 @@ def build_fused_step(model, de, spec, interpret=None, K=1,
         window gather garbage here (their slab index is still in
         bounds) and are overridden in-kernel from the VMEM window."""
         S = hist.shape[0]
+        # transpose-to-[S·Cf, d] + row take: O(S) per launch, but the
+        # MEASURED best of three gather formulations on this backend
+        # (v5e, wide C=512, n=12k, K=6): 18.2 µs/iter here vs 25.1 for
+        # multi-dim advanced indexing and 61.8 for a flat scalar take —
+        # XLA's TPU gather lowerings degrade far below a bulk relayout
         hist2 = jnp.transpose(hist, (0, 2, 1)).reshape(S * Cf, d)
         N = idx_flat.shape[0]
         pad = n_pre * Cf - N

@@ -694,9 +694,11 @@ def _build_fused_resample_wrapped(model: DEModel, de: DE, spec: ParamSpec):
     step.get_superstep = get_superstep
 
     def get_thin_step(thin):
-        # K = thin launches: the flat index array is [thin · slots · C]
-        # words — over the physical SMEM bound, fall back to the
-        # thin-wrap of single steps (code-review r4)
+        # K = thin launches: the [thin · slots · lane_w] index array —
+        # past the budget (physical SMEM for narrow kernels; the same
+        # word count doubles as a conservative VMEM window bound for
+        # wide ones), fall back to the thin-wrap of single steps
+        # (code-review r4)
         if (thin * fused_mod.resample_idx_words(de)
                 > fused_mod.RESAMPLE_SMEM_WORDS_MAX):
             return None
@@ -1473,11 +1475,16 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     spec = make_spec(model, de)
     if state is None:
         state = init_state(model, de, spec, key)
+    fire_ckpt = None
     if state.fire is not None and state.history is not None:
         # fused-resample checkpoint: unpack the lane-packed history slabs
         # so the buffer can grow; to_fused repacks below (real-chain
-        # values round-trip exactly — alpha is 0 on this path, so the
-        # redrawn migration gate is the same constant 0)
+        # values round-trip exactly).  The checkpointed look-ahead
+        # migration gate is preserved across the round-trip: with
+        # alpha > 0 (multi-group resample, round 5) to_fused's redrawn
+        # gate comes from a different stream than the kernel's
+        # look-ahead draw, which would break bitwise resume
+        fire_ckpt = state.fire
         state = _unpack_fused_state(state, de.n_groups, de.Np, spec.dim)
     # grow the resample-history buffer for this run's rows — also on
     # RESUMED states (a checkpointed history only covers past iterations;
@@ -1501,6 +1508,10 @@ def sample(model: DEModel, de: DE, *args, key=0, progress: bool = False,
     state = _shard_state(state, mesh)     # layout-aware (XLA or fused)
     if fused:
         state = step.to_fused(state)      # no-op on a fused-layout resume
+        if fire_ckpt is not None:
+            state = state._replace(
+                fire=jnp.asarray(fire_ckpt).reshape(1, 1)
+                .astype(jnp.int32))       # bitwise resume (see above)
     mon = None
     if monitor or stop_rhat is not None:
         from .utils.monitor import ConvergenceMonitor

@@ -418,6 +418,26 @@ def test_resample_resume_bitwise(interpret):
     assert np.array_equal(full.data[-len(tail2):], tail2.data)
 
 
+def test_resample_migration_resume_bitwise(interpret):
+    """Packed-layout resume with MIGRATION on (multi-group resample,
+    round 5) is bitwise too: the checkpointed look-ahead gate must
+    survive the unpack -> grow -> repack round trip (to_fused's
+    redrawn gate comes from a different stream)."""
+    from demcmc_tpu.sampler import _grow_history, init_state, run_scan
+    model, de = _make_resample(burnin=10, discard_burnin=False,
+                               n_groups=4, Np=4, alpha=0.4)
+    full = sample(model, de, 60, key=9)
+    spec = make_spec(model, de)
+    step = build_step(model, de, spec)
+    assert getattr(step, "fused", False)
+    st_p = step.to_fused(
+        _grow_history(init_state(model, de, spec, 9), 30))
+    st_p, _ = run_scan(step, st_p, 30)
+    assert st_p.fire is not None
+    tail = sample(model, de, 30, key=9, state=st_p)
+    assert np.array_equal(full.data[-len(tail):], tail.data)
+
+
 @pytest.mark.slow
 def test_resample_fused_matches_oracle(interpret):
     """The fused DE-MCz path targets the right posterior (quadrature
