@@ -122,8 +122,10 @@ SUPER_K = 16
 
 # interpret-mode row budget for the in-kernel migration boundary replay
 # (mig_replay): 3 pre-laid draw rows per potential coalesced event.
-# Covers any window this package builds (super_k() caps at 256); the
-# hardware path draws in-body and needs no cap.
+# The gate COUNT a launch receives is bounded by the PREVIOUS launch's
+# K, so the sampler clamps replay-mode superstep/thin K to this cap
+# (an env-overridden DEMCMC_SUPER_K is otherwise unclamped on the
+# standard path); the hardware path draws in-body and needs no cap.
 _REPLAY_E_CAP = 512
 
 
@@ -228,8 +230,8 @@ def supported(model, de, spec) -> bool:
 # as packed slab·128+lane int32 scalars, so the in-kernel gather is a
 # dynamic slab load + one-hot lane reduction per (chain, slot).
 
-RESAMPLE_CF = 128          # lane-width granule (population and history)
-RESAMPLE_MAX_C = 128       # narrow layout: chains fit one 128-lane row
+RESAMPLE_CF = 128          # lane-width granule; narrow layouts (C <=
+                           # RESAMPLE_CF) keep all chains in one row
 # WIDE resample layout (round 5): C in (128, 1024] keeps all chains in
 # sublane row 0 but across Cf = ceil(C/128)·128 lanes; history slabs
 # become one row per slab (B = 1) and the path is STREAM-ONLY — the
@@ -985,7 +987,12 @@ def _mig_apply_sorted(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
       flag columns through the gemms (0·inf would be NaN); transported
       values are otherwise exact (one-hot × value at HIGHEST), with
       ``-0.0 → +0.0`` canonicalization — which the additive ``vict``
-      transport already applies to every payload on all geometries."""
+      transport already applies to every payload on all geometries.
+      PRECONDITION of the gemm geometry: no NaN in theta/w — a NaN
+      would spread through a whole 128-group slice via 0·NaN (the
+      roll/select geometries keep it lane-local).  The kernel
+      guarantees this upstream: fitness NaN-masks to -inf and rejected
+      out-of-bounds proposals never enter theta."""
     d, R, Cf = theta.shape
     dt = theta.dtype
 

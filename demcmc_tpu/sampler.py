@@ -140,14 +140,17 @@ def build_step(model: DEModel, de: DE, spec: ParamSpec,
         # the frozen content key, NOT the DE object: distinct-but-equal DE
         # configs with ndarray blocks would hash equal but make the dict's
         # __eq__ fallback raise the ambiguous-array ValueError
-        # super_k()/DEMCMC_MIG_GATE in the key: a build-time env-knob
-        # change between runs must rebuild the step (get_superstep
-        # memoizes its kernel; the big-G migration gate style is baked
-        # into the wrapped step)
+        # super_k()/DEMCMC_MIG_GATE/DEMCMC_MIG_REPLAY/DEMCMC_MIG_IK_MAX_G
+        # in the key: a build-time env-knob change between runs must
+        # rebuild the step (get_superstep memoizes its kernel; the
+        # migration gate style, replay mode and in-kernel size cutoff
+        # are baked into the wrapped step)
         import os as _os
         cache_key = (de._static_key(), _spec_key(spec), allow_fused, mesh,
                      fused_mod.super_k() if allow_fused else 0,
-                     _os.environ.get("DEMCMC_MIG_GATE", "cond")
+                     (_os.environ.get("DEMCMC_MIG_GATE", "cond"),
+                      _os.environ.get("DEMCMC_MIG_REPLAY", "1"),
+                      fused_mod.mig_ik_max_g())
                      if allow_fused else "")
         hash(cache_key)
     except TypeError:
@@ -469,6 +472,12 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
             return None                  # data-dependent XLA migration
         if not _super:
             sk = fused_mod.super_k()
+            if mig_replay:
+                # the NEXT launch replays up to K coalesced events;
+                # its interpret-mode draw rows are budgeted at
+                # _REPLAY_E_CAP (an env-overridden DEMCMC_SUPER_K has
+                # no other clamp)
+                sk = min(sk, fused_mod._REPLAY_E_CAP)
             try:
                 kk = _mk(sk, mig_ik)
             except Exception:
@@ -499,6 +508,8 @@ def _build_fused_wrapped(model: DEModel, de: DE, spec: ParamSpec,
         which is launch-overhead bound on this path."""
         if not (mig_ik or mig_replay or alpha == 0.0 or coalesce):
             return None                  # data-dependent XLA migration
+        if mig_replay and thin > fused_mod._REPLAY_E_CAP:
+            return None   # next launch's replay rows are budgeted at CAP
         if thin not in _thin_cache:
             try:
                 kt = _mk(thin, mig_ik, emit="last")

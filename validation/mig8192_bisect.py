@@ -22,7 +22,11 @@ _real = fs._mig_apply_sorted
 
 def make_partial(upto):
     def partial_mig(theta, w, u_row, na_f, gum, p, *, G, Np, Gr,
-                    spread=None, dyn=False):
+                    spread=None, gemm=None):
+        # the builder now ships gemm matrices where Gr % 128 == 0; this
+        # bisect pins the round-4 BARREL form (the baseline the 46->22
+        # numbers were measured against), so gemm inputs are ignored
+        # and spread may be None for the compress+ variants
         d, R, Cf = theta.shape
         dt = theta.dtype
         if upto == "ident":
@@ -46,7 +50,8 @@ def make_partial(upto):
             return ([jnp.where(vmask, twv[i], theta[i])
                      for i in range(d)], jnp.where(vmask, twv[d], w))
 
-        T_sp, word = spread
+        # (the spread word/T_sp aren't needed: the partial variants
+        # stop before widen, and 'full' re-dispatches to the real fn)
         s_lane = laneI * (Np - 1)
         smax = (Gr - 1) * (Np - 1)
 
@@ -83,7 +88,7 @@ def make_partial(upto):
             return ([jnp.where(vmask, pw[i], theta[i])
                      for i in range(d)], jnp.where(vmask, pw[d], w))
         return _real(theta, w, u_row, na_f, gum, p, G=G, Np=Np, Gr=Gr,
-                     spread=spread, dyn=False)
+                     spread=spread, gemm=gemm)
     return partial_mig
 
 
