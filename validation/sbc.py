@@ -91,12 +91,14 @@ def sbc_snooker_resample(M=32, d=3, n_obs=20):
 
 def sbc_wide_resample(M=20, d=2, n_obs=20):
     """SBC of the WIDE (C > 128) fused resample layout (round 5):
-    C = 192 DE-MCz + snooker runs the fused kernel itself (interpret
-    mode — the same kernel program the chip executes), serially per
-    replication.  Validates the wide history packing, the padded VMEM
-    index rows, and the one-hot-gemm window gather end to end — rank
-    uniformity catches any partner-routing bias the bitwise
-    window-vs-pregather test can't see on its own."""
+    C = 192 DE-MCz + snooker + MIGRATION (α = 0.1, the reference
+    default — multi-group resample fuses since round 5 too) runs the
+    fused kernel itself (interpret mode — the same kernel program the
+    chip executes), serially per replication.  Validates the wide
+    history packing, the padded VMEM index rows, the one-hot-gemm
+    window gather, and the pad-group-masked in-kernel migration end to
+    end — rank uniformity catches any partner-routing or
+    pad-group-leak bias the bitwise tests can't see on their own."""
     import jax
     import jax.numpy as jnp
 
@@ -121,7 +123,7 @@ def sbc_wide_resample(M=20, d=2, n_obs=20):
     def prior_loglike_batched(mu):
         return -0.5 * jnp.sum(mu * mu, axis=0)
 
-    de = dm.DE(Np=3, n_groups=64, alpha=0.0, theta_snooker=0.5,
+    de = dm.DE(Np=3, n_groups=64, alpha=0.1, theta_snooker=0.5,
                sample="resample", n_initial=(d + 1) * 4,
                burnin=300, sweep="sync", bounds=((-np.inf, np.inf),))
 
